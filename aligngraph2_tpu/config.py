@@ -1,0 +1,155 @@
+"""Typed configuration for the whole pipeline.
+
+One dataclass covers every knob of the reference, including the ones the
+reference hard-codes (cf. /root/reference/PAGraph/src/main/pagraph.cpp:110-125)
+or validates-but-never-forwards (the ``-b`` flag,
+/root/reference/AlignGraph2.py:93-95).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class AlignerConfig:
+    """Seed-extend aligner knobs (replaces mecat2ref / mecat2ref+ / nucmer).
+
+    The reference invokes mecat2ref with ``-b 1`` (one volume) and mecat2ref+
+    additionally with ``-l alpha -u beta -z block -y delta``
+    (/root/reference/AlignGraph2.py:265-277).  The customized scoring of
+    mecat2ref+ partitions the similar genome into blocks and clamps the k-mer
+    scoring function to [alpha, beta] (README.md:43-51).
+    """
+
+    seed_k: int = 13                # seeding k-mer size (MECAT uses 13)
+    seed_stride: int = 1            # query k-mer sampling stride for seeding
+    block_size: int = 2000          # genome block size for candidate scoring (bp)
+    alpha: float = 0.5              # lower clamp of block k-mer score
+    beta: float = 2.0               # upper clamp of block k-mer score
+    delta: float = 0.9              # alignment score acceptance threshold
+    max_candidates: int = 8         # candidate (block,strand) pairs per read
+    min_block_hits: int = 4         # min seed hits for a candidate block
+    band_width: int = 256           # DP band width (lanes); power of two
+    match_score: int = 2
+    mismatch_score: int = -4
+    gap_score: int = -3             # linear gap penalty
+    x_drop: int = 0                 # 0 = full band, no x-drop (round 1)
+    min_aln_len: int = 200          # drop alignments shorter than this (bases)
+    min_identity: float = 0.6       # identity floor for emitted alignments
+    chunk_len: int = 10_000         # pseudo-read chunking for contig->ref
+                                    # (reference: script/long2ref.py:10)
+    batch_reads: int = 64           # reads per device batch (padded)
+    max_read_len: int = 65_536      # pad/bucket ceiling for read length
+
+
+@dataclass
+class GraphConfig:
+    """Positional A-Bruijn graph + traversal knobs.
+
+    Defaults mirror the reference's driver defaults
+    (/root/reference/AlignGraph2.py:25-46) and the constants hard-coded in
+    pagraph.cpp run2() (/root/reference/PAGraph/src/main/pagraph.cpp:110-125).
+    """
+
+    k: int = 14                     # graph k-mer size [4-15]
+    solid_threshold: float = 0.2    # top mass fraction of 4^k table kept solid
+                                    # (kmer_counter.cpp:58-77)
+    epsilon: int = 10               # position-join distance [5-100]
+    min_len: int = 50               # minimum path length for traversal
+    cov_filter: int = 2             # coverage filter -v
+    # hard-coded in pagraph.cpp:110-125:
+    read_to_ctg_top_k: int = -1
+    read_to_ref_top_k: int = -1
+    ctg_to_ref_top_k: int = -1
+    outer_sample: int = 3
+    inner_sample: int = 1
+    read_to_ctg_ratio: float = 0.35
+    read_to_ref_ratio: float = 0.10
+    ctg_to_ref_ratio: float = 0.0
+    ctg_to_ref_total_ratio: float = 0.1
+    ctg_to_ref_min_len: int = 50
+    error_rate: float = 0.15
+    start_split: float = 0.90
+    # traversal deviation is epsilon * 2 (pagraph.cpp:250 'posError * 2')
+    travel_top_k: int = 8           # parallel greedy walks per step
+
+
+@dataclass
+class PreProcessConfig:
+    """Contig-to-reference grouping (reference pre_process defaults:
+    /root/reference/PAGraph/src/main/pre_process.cpp:212-238)."""
+
+    group_top_k: int = 1            # top-K (ref,orient) per contig
+    group_cover_ratio: float = 0.15 # min covered fraction of contig
+
+
+@dataclass
+class ConsensusConfig:
+    """Windowed POA consensus (reference pa_cns defaults:
+    /root/reference/PAGraph/src/main/pa_cns.cpp:23-47 and the driver's
+    part_len/top_k at AlignGraph2.py:494-496)."""
+
+    window: int = 10_000            # -a / part_len: backbone window size
+    top_k: int = 3000               # alignments kept per window
+    alpha: int = 250                # weight cap for score-proportional weights
+    min_weight: int = 0             # consensus min base weight
+
+
+@dataclass
+class RuntimeConfig:
+    """Host/device execution knobs."""
+
+    threads: int = 16               # host worker threads for IO-bound stages
+    data_axis: str = "data"         # mesh axis: reads data-parallel
+    block_axis: str = "block"       # mesh axis: genome-block sharding
+    use_tpu: bool = True            # False forces CPU backend (tests)
+    progress: bool = True
+
+
+@dataclass
+class PipelineConfig:
+    aligner: AlignerConfig = field(default_factory=AlignerConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    preprocess: PreProcessConfig = field(default_factory=PreProcessConfig)
+    consensus: ConsensusConfig = field(default_factory=ConsensusConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def validate(self) -> None:
+        """Range checks mirroring /root/reference/AlignGraph2.py:89-119."""
+        g, a, c = self.graph, self.aligner, self.consensus
+        if not 4 <= g.k <= 15:
+            raise ValueError("Size of k-mer must be [4-15]")
+        if not 0.0 <= a.alpha <= 1.0:
+            raise ValueError("Lower bound of k-mer scoring must be [0-1]")
+        if not 1.0 <= a.beta:
+            raise ValueError("Upper bound of k-mer scoring must be >= 1")
+        if not 0.0 <= a.delta <= 1.0:
+            raise ValueError("threshold for alignment scoring must be [0-1]")
+        if not 1 <= g.cov_filter:
+            raise ValueError("coverage to filter alignments must be >= 1")
+        if not 5 <= g.epsilon <= 100:
+            raise ValueError("Distance to join two vertices must be [5-100]")
+        if not 0 <= g.min_len:
+            raise ValueError("Minimum path length must not be negative")
+        if not 100 <= c.window <= 100_000:
+            raise ValueError("Size of long read blocks must be [100-100000]")
+        if not 0 <= self.runtime.threads:
+            raise ValueError("Thread number must not be negative")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineConfig":
+        raw = json.loads(text)
+        return cls(
+            aligner=AlignerConfig(**raw.get("aligner", {})),
+            graph=GraphConfig(**raw.get("graph", {})),
+            preprocess=PreProcessConfig(**raw.get("preprocess", {})),
+            consensus=ConsensusConfig(**raw.get("consensus", {})),
+            runtime=RuntimeConfig(**raw.get("runtime", {})),
+        )
