@@ -1,0 +1,218 @@
+"""Adaptive banded local-alignment DP kernel with device traceback.
+
+This is the compute core of the seed-extend aligner that replaces the
+reference's external ``mecat2ref``/``mecat2ref+``/``nucmer`` binaries
+(SURVEY.md §2.5 C1-C3; the mecat sources are absent submodules, so the
+kernel is built from the observable contract: local alignments of noisy
+long reads against a target, reported as scored gapped alignments).
+
+Design (TPU-first):
+  * The DP matrix is never materialized.  A ``lax.scan`` walks query rows;
+    each step holds one band of W cells (W = 128..512, a multiple of the
+    VPU lane width), so all row math is dense (W,)-vector work on the VPU.
+  * The band is *adaptive*: its center diagonal drifts by at most +-1 per
+    row toward the current row argmax, letting the band follow indel drift
+    far beyond W/2 without widening.
+  * Within-row gap chains (query gaps) are resolved with a Kogge-Stone
+    max-plus scan: log2(W) shift+max steps instead of a serial pass.
+  * Direction bits (2 per cell) and per-row band centers are emitted to
+    HBM; a second batched ``lax.scan`` walks the traceback entirely on
+    device, so hosts only receive compact move strings.
+
+Scoring: Smith-Waterman local with linear gaps (match/mismatch/gap from
+AlignerConfig).  Scores are int32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(1 << 28))
+
+# direction codes
+STOP, DIAG, UP, LEFT = 0, 1, 2, 3
+
+
+class BandedResult(NamedTuple):
+    score: jax.Array      # (B,) int32 best local score
+    best_i: jax.Array     # (B,) int32 query end row (exclusive)
+    best_j: jax.Array     # (B,) int32 band column of the end cell
+    dirs: jax.Array       # (B, NQ, W) uint8 direction codes per cell
+    centers: jax.Array    # (B, NQ+1) int32 band center diagonal per row
+
+
+def _row_kernel(carry, xs, *, W, match, mismatch, gap, ks_shifts):
+    """One DP row: carry = (H_prev, c_prev, best, b_i, b_j, t_pad, qlen,
+    tlen); xs = (q_base, i)."""
+    H_prev, c_prev, best, b_i, b_j, t_pad, qlen, tlen = carry
+    q_base, i = xs
+
+    # adaptive drift: move the band center toward the running argmax
+    row_max = jnp.max(H_prev)
+    drift = jnp.argmax(H_prev).astype(jnp.int32) - W // 2
+    dc = jnp.where(row_max > 0, jnp.clip(drift, -1, 1), 0)
+    c = jnp.clip(c_prev + dc, -W, t_pad.shape[0])
+
+    # predecessors from the previous row, shifted for the drift:
+    #   diag pred of (i, j) lives at H_prev[j + dc], up pred at [j + dc + 1]
+    padded = jnp.concatenate([NEG * jnp.ones(1, jnp.int32), H_prev,
+                              NEG * jnp.ones(2, jnp.int32)])
+    diag_vals = jax.lax.dynamic_slice(padded, (dc + 1,), (W,))
+    up_vals = jax.lax.dynamic_slice(padded, (dc + 2,), (W,))
+
+    # target bases under the band: cell (i, j) consumes t[p-1] on a diag
+    # move, p = i + c - W/2 + j.  t_pad has PADL = W + 2 sentinel bases.
+    start = (i - 1) + c - W // 2 + (W + 2)
+    t_slice = jax.lax.dynamic_slice(t_pad, (start,), (W,)).astype(jnp.int32)
+    sub = jnp.where(t_slice == q_base, match, mismatch)
+
+    d_v = diag_vals + sub
+    u_v = up_vals + gap
+    M = jnp.maximum(d_v, u_v)
+    m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.uint8)
+    m_dir = jnp.where(M > 0, m_dir, STOP)
+    M = jnp.maximum(M, 0)
+
+    # query-gap chain along the row: Kogge-Stone max-plus prefix scan
+    H = M
+    for sh in ks_shifts:
+        shifted = jnp.concatenate([NEG * jnp.ones(sh, jnp.int32), H[:-sh]])
+        H = jnp.maximum(H, shifted + gap * sh)
+    dirs = jnp.where(H > M, jnp.uint8(LEFT), m_dir)
+
+    # validity: p in [0, tlen], row i <= qlen
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).squeeze(-1)
+    p = i + c - W // 2 + j_idx
+    ok = (p >= 0) & (p <= tlen) & (i <= qlen)
+    H = jnp.where(ok, H, NEG)
+    dirs = jnp.where(ok, dirs, jnp.uint8(STOP))
+
+    # best-cell tracking
+    r_max = jnp.max(H)
+    r_arg = jnp.argmax(H).astype(jnp.int32)
+    upd = r_max > best
+    best = jnp.where(upd, r_max, best)
+    b_i = jnp.where(upd, i, b_i)
+    b_j = jnp.where(upd, r_arg, b_j)
+
+    return (H, c, best, b_i, b_j, t_pad, qlen, tlen), (dirs, c)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "match", "mismatch", "gap"))
+def banded_align(q, qlen, t, tlen, c0, *, W=256, match=2, mismatch=-4,
+                 gap=-3) -> BandedResult:
+    """Batched adaptive banded local alignment.
+
+    q: (B, NQ) uint8 query codes (aligned strand), qlen: (B,)
+    t: (B, NT) uint8 target window codes,           tlen: (B,)
+    c0: (B,) int32 initial band center diagonal (t_pos - q_pos estimate,
+        relative to the window start)
+    """
+    B, NQ = q.shape
+    ks_shifts = tuple(1 << s for s in range(int(np.log2(W))))
+
+    def one(qb, qlenb, tb, tlenb, c0b):
+        # initial row 0: score 0 at valid p, NEG elsewhere
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).squeeze(-1)
+        p0 = c0b - W // 2 + j_idx
+        H0 = jnp.where((p0 >= 0) & (p0 <= tlenb), 0, NEG).astype(jnp.int32)
+        t_pad = jnp.concatenate([
+            jnp.full(W + 2, 255, jnp.uint8), tb,
+            jnp.full(W + NQ + 2, 255, jnp.uint8)])
+        carry = (H0, c0b.astype(jnp.int32), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), t_pad, qlenb.astype(jnp.int32),
+                 tlenb.astype(jnp.int32))
+        xs = (qb.astype(jnp.int32), jnp.arange(1, NQ + 1, dtype=jnp.int32))
+        kernel = functools.partial(_row_kernel, W=W, match=match,
+                                   mismatch=mismatch, gap=gap,
+                                   ks_shifts=ks_shifts)
+        (H, c_last, best, b_i, b_j, *_), (dirs, centers) = jax.lax.scan(
+            kernel, carry, xs)
+        centers = jnp.concatenate([c0b[None].astype(jnp.int32), centers])
+        return best, b_i, b_j, dirs, centers
+
+    score, bi, bj, dirs, centers = jax.vmap(one)(q, qlen, t, tlen, c0)
+    return BandedResult(score, bi, bj, dirs, centers)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def traceback(dirs, centers, best_i, best_j, *, max_steps):
+    """Batched device traceback.
+
+    Returns (moves (B, max_steps) uint8 in END->START order, n_moves (B,),
+    start_i (B,), start_j (B,)).  Move codes are DIAG/UP/LEFT; 0 entries
+    past n_moves are padding.
+    """
+    B, NQ, W = dirs.shape
+
+    def one(d, cen, bi, bj):
+        def step(carry, _):
+            i, j, active = carry
+            cur = d[jnp.maximum(i - 1, 0), j]
+            cur = jnp.where(active & (i > 0), cur, STOP)
+            dc = cen[i] - cen[jnp.maximum(i - 1, 0)]
+            ni = jnp.where(cur == LEFT, i, i - 1)
+            nj = jnp.where(cur == LEFT, j - 1,
+                           jnp.where(cur == DIAG, j + dc, j + dc + 1))
+            emit = jnp.where(cur == STOP, 0, cur).astype(jnp.uint8)
+            live = active & (cur != STOP)
+            i = jnp.where(live, ni, i)
+            j = jnp.where(live, nj, j)
+            return (i, j, live), emit
+
+        (si, sj, _), moves = jax.lax.scan(
+            step, (bi, bj, jnp.bool_(True)), None, length=max_steps)
+        n = jnp.sum((moves != 0).astype(jnp.int32))
+        return moves, n, si, sj
+
+    return jax.vmap(one)(dirs, centers, best_i, best_j)
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers
+
+
+def numpy_local_align(q: np.ndarray, t: np.ndarray, match=2, mismatch=-4,
+                      gap=-3):
+    """Unbanded Smith-Waterman oracle for tests (O(nm), host)."""
+    n, m = len(q), len(t)
+    H = np.zeros((n + 1, m + 1), dtype=np.int64)
+    best, bi, bj = 0, 0, 0
+    for i in range(1, n + 1):
+        sub = np.where(t == q[i - 1], match, mismatch)
+        for p in range(1, m + 1):
+            v = max(H[i - 1][p - 1] + sub[p - 1], H[i - 1][p] + gap,
+                    H[i][p - 1] + gap, 0)
+            H[i][p] = v
+            if v > best:
+                best, bi, bj = v, i, p
+    return int(best), bi, bj
+
+
+def moves_to_strings(moves_rev: np.ndarray, q_codes: np.ndarray,
+                     start_q: int, start_t: int, t_codes: np.ndarray):
+    """Reconstruct gapped strings from END->START move codes.
+
+    Returns (qstr, tstr, qe, te) — gapped ASCII strings plus end-exclusive
+    coordinates; start_q/start_t are the begin coordinates from traceback.
+    """
+    from ..io.seqdb import decode_seq
+    moves = moves_rev[moves_rev != 0][::-1]
+    q_adv = (moves != LEFT)
+    t_adv = (moves != UP)
+    qi = start_q + np.cumsum(q_adv) - q_adv
+    ti = start_t + np.cumsum(t_adv) - t_adv
+    qs = np.where(q_adv, q_codes[np.minimum(qi, len(q_codes) - 1)], 4)
+    ts = np.where(t_adv, t_codes[np.minimum(ti, len(t_codes) - 1)], 4)
+    table = np.frombuffer(b"ACGT-", dtype=np.uint8)
+    qstr = table[qs].tobytes().decode()
+    tstr = table[ts].tobytes().decode()
+    qe = int(start_q + q_adv.sum())
+    te = int(start_t + t_adv.sum())
+    return qstr, tstr, qe, te

@@ -1,0 +1,157 @@
+"""K-mer seeding and candidate selection for the seed-extend aligner.
+
+Replaces the candidate-finding half of mecat2ref / mecat2ref+ (SURVEY.md
+§2.5 C1/C2 — the mecat sources are absent submodules; semantics are
+recovered from the observable contract and the published description:
+the similar genome is scanned in blocks, candidate blocks are ranked by a
+k-mer scoring function clamped to [alpha, beta], and alignments scoring
+under delta are dropped, cf. /root/reference/README.md:43-51).
+
+Concrete recovered semantics implemented here (documented because the
+original binary is unrecoverable):
+
+  * hits are (query_pos, target_pos) k-mer matches against a sorted-array
+    index of the target database; k-mers occurring more than ``max_occ``
+    times in the target are masked (standard long-read seeding practice).
+  * hits are binned by (target_seq, diagonal // bin_w) with pair-of-bins
+    smoothing; each surviving bin is a candidate alignment with an
+    estimated diagonal.
+  * the alpha/beta clamp: a candidate's ranking score is its hit count
+    clamped to [alpha, beta] x the read's mean candidate hit count — alpha
+    lifts weakly-seeded (diverged) blocks into consideration, beta stops
+    repeat-rich blocks from crowding out the candidate list.
+  * delta acts downstream (aligner.py): alignments scoring below
+    delta x the read's best alignment score are dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..io.seqdb import SeqDatabase
+from .kmer import kmer_codes_np
+
+
+class SeedIndex:
+    """Sorted-array k-mer index over the forward strands of a SeqDatabase."""
+
+    def __init__(self, db: SeqDatabase, k: int, max_occ: int = 256,
+                 stride: int = 1):
+        self.db = db
+        self.k = k
+        self.max_occ = max_occ
+        codes_list = []
+        pos_list = []
+        for i in range(len(db)):
+            c = kmer_codes_np(db.get_codes(i), k)
+            if stride > 1:
+                c = c[::stride]
+                p = np.arange(0, len(c) * stride, stride, dtype=np.int64)
+            else:
+                p = np.arange(len(c), dtype=np.int64)
+            codes_list.append(c)
+            pos_list.append(p + db.offsets[i])  # global flat position
+        codes = (np.concatenate(codes_list) if codes_list
+                 else np.zeros(0, np.int64))
+        pos = (np.concatenate(pos_list) if pos_list
+               else np.zeros(0, np.int64))
+        order = np.argsort(codes, kind="stable")
+        self.sorted_codes = codes[order]
+        self.sorted_pos = pos[order]
+
+    def lookup(self, q_codes: np.ndarray):
+        """All (query_pos, global_target_pos) hits for the query's k-mers,
+        with high-frequency k-mers masked."""
+        lo = np.searchsorted(self.sorted_codes, q_codes, side="left")
+        hi = np.searchsorted(self.sorted_codes, q_codes, side="right")
+        n = hi - lo
+        n = np.where(n > self.max_occ, 0, n)
+        total = int(n.sum())
+        if total == 0:
+            return (np.zeros(0, np.int64),) * 2
+        # gather ranges [lo_i, lo_i + n_i) for all i
+        qpos = np.repeat(np.arange(len(q_codes), dtype=np.int64), n)
+        starts = np.repeat(lo, n)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n) - n, n)
+        tpos = self.sorted_pos[starts + within]
+        return qpos, tpos
+
+
+@dataclass
+class Candidate:
+    tid: int          # target sequence id
+    forward: bool     # query strand that matched
+    diag: int         # estimated diagonal (t_local - q_pos)
+    hits: int         # raw hit count
+    score: float      # clamped ranking score
+
+
+def find_candidates(index: SeedIndex, q_codes_fwd: np.ndarray,
+                    q_codes_rev: np.ndarray, *, bin_w: int,
+                    max_candidates: int, min_hits: int,
+                    alpha: float, beta: float) -> List[Candidate]:
+    """Candidate (target, strand, diagonal) triples for one read."""
+    rows = []
+    for forward, q_codes in ((True, q_codes_fwd), (False, q_codes_rev)):
+        if len(q_codes) == 0:
+            continue
+        qpos, tpos_g = index.lookup(q_codes)
+        if len(qpos) == 0:
+            continue
+        tid = np.searchsorted(index.db.offsets, tpos_g, side="right") - 1
+        t_local = tpos_g - index.db.offsets[tid]
+        diag = t_local - qpos
+        # bin by (tid, diag // bin_w); smooth over adjacent bins by also
+        # crediting bin+1 so near-boundary diagonals count together
+        dbin = np.floor_divide(diag, bin_w)
+        key = tid * (1 << 34) + (dbin + (1 << 32))
+        for shift in (0, 1):
+            rows.append((forward, key + shift, diag, np.ones_like(key)))
+    if not rows:
+        return []
+
+    cands: List[Candidate] = []
+    for forward in (True, False):
+        keys = [r[1] for r in rows if r[0] == forward]
+        diags = [r[2] for r in rows if r[0] == forward]
+        if not keys:
+            continue
+        keys = np.concatenate(keys)
+        diags = np.concatenate(diags)
+        uniq, inv, cnt = np.unique(keys, return_inverse=True,
+                                   return_counts=True)
+        good = np.flatnonzero(cnt >= max(min_hits, 1))
+        if len(good) == 0:
+            continue
+        # estimated diagonal per bin: median of member diagonals
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq)))
+        for g in good:
+            members = diags[order[bounds[g]:bounds[g] + cnt[g]]]
+            med = int(np.median(members))
+            tid = int(uniq[g] >> 34)
+            cands.append(Candidate(tid=tid, forward=forward, diag=med,
+                                   hits=int(cnt[g]), score=0.0))
+
+    if not cands:
+        return []
+    # de-duplicate: same (tid, strand) with diagonals within bin_w collapse
+    # to the strongest
+    cands.sort(key=lambda c: -c.hits)
+    kept: List[Candidate] = []
+    for c in cands:
+        dup = any(k.tid == c.tid and k.forward == c.forward
+                  and abs(k.diag - c.diag) <= bin_w for k in kept)
+        if not dup:
+            kept.append(c)
+    # alpha/beta clamp on ranking scores relative to the read's mean
+    mean_hits = float(np.mean([c.hits for c in kept]))
+    for c in kept:
+        c.score = float(np.clip(c.hits, alpha * mean_hits,
+                                beta * mean_hits))
+    kept.sort(key=lambda c: -c.score)
+    return kept[:max_candidates]

@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+from aligngraph2_tpu.config import AlignerConfig
+from aligngraph2_tpu.io.seqdb import SeqDatabase, encode_seq
+from aligngraph2_tpu.align.aligner import LongReadAligner, align_chunked
+from aligngraph2_tpu.align.records import AlignmentSet, parse_diff, \
+    exact_align_pairs
+from tests.synth import make_dataset, random_genome, mutate, revcomp
+
+
+def small_cfg(**kw):
+    d = dict(band_width=128, min_aln_len=100, min_block_hits=3,
+             max_candidates=4, seed_k=11, delta=0.5)
+    d.update(kw)
+    return AlignerConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_dataset(seed=3, genome_len=6000, coverage=8,
+                        mean_read=900, read_err=0.03)
+
+
+def test_reads_align_to_genome(dataset):
+    reads = SeqDatabase(dataset["reads"])
+    genome = SeqDatabase([("g", dataset["genome"])])
+    aligner = LongReadAligner(genome, small_cfg())
+    alns = aligner.align_reads(reads)
+    # nearly every read should produce at least one alignment
+    aligned = {a.query_name for a in alns}
+    assert len(aligned) >= 0.9 * len(reads)
+    for a in alns:
+        assert a.qsize == reads.size(reads.seq_id(a.query_name))
+        assert 0 <= a.rb < a.re <= genome.size(0)
+        assert 0 <= a.qb < a.qe <= a.qsize
+        # gapped strings spell the claimed intervals
+        rseq = genome.get_str(0)
+        assert a.tstr.replace("-", "") == rseq[a.rb:a.re]
+        qdb_seq = reads.get_str(reads.seq_id(a.query_name), a.forward)
+        if a.forward:
+            assert a.qstr.replace("-", "") == qdb_seq[a.qb:a.qe]
+        else:
+            # R records: gapped query is the revcomp strand; its interval in
+            # revcomp coords is [qsize-qe, qsize-qb)
+            assert a.qstr.replace("-", "") == \
+                qdb_seq[a.qsize - a.qe:a.qsize - a.qb]
+
+
+def test_reverse_strand_read_found():
+    rng = np.random.default_rng(7)
+    g = random_genome(rng, 4000)
+    read_f = g[1000:2200]
+    read_r = revcomp(mutate(rng, read_f, sub=0.02, ins=0.01, dele=0.01))
+    reads = SeqDatabase([("1", read_r)])
+    genome = SeqDatabase([("g", g)])
+    alns = LongReadAligner(genome, small_cfg()).align_reads(reads)
+    assert len(alns) >= 1
+    a = alns[0]
+    assert not a.forward
+    assert abs(a.rb - 1000) < 50 and abs(a.re - 2200) < 50
+
+
+def test_exact_align_pairs_roundtrip(dataset):
+    """Replayed (query,target) pairs from diff masks must agree with the
+    gapped strings themselves."""
+    reads = SeqDatabase(dataset["reads"][:8])
+    genome = SeqDatabase([("g", dataset["genome"])])
+    alns = LongReadAligner(genome, small_cfg()).align_reads(reads)
+    assert len(alns) > 0
+    a = alns[0]
+    qd, rd = parse_diff(a.qstr, a.tstr)
+    # forward replay: walk columns forward from (aligned-strand qb, rb)
+    q0 = a.qb if a.forward else a.qsize - a.qe
+    qp, rp = exact_align_pairs(q0, a.rb, True, qd, rd)
+    # number of emissions == query bases consumed
+    assert len(qp) == (a.qe - a.qb)
+    assert qp[0] == q0 and rp[0] == a.rb
+    assert qp[-1] == (a.qe if a.forward else a.qsize - a.qb) - 1
+    assert rp[-1] <= a.re - 1
+
+
+def test_ref_file_roundtrip(tmp_path, dataset):
+    reads = SeqDatabase(dataset["reads"][:6])
+    genome = SeqDatabase([("g", dataset["genome"])])
+    alns = LongReadAligner(genome, small_cfg()).align_reads(reads)
+    p = str(tmp_path / "x.ref")
+    alns.write_ref(p)
+    back = AlignmentSet.read_ref(p)
+    assert len(back) == len(alns)
+    for a, b in zip(alns, back):
+        assert (a.query_name, a.ref_name, a.forward, a.score) == \
+            (b.query_name, b.ref_name, b.forward, b.score)
+        assert (a.qb, a.qe, a.qsize, a.rb, a.re, a.rsize) == \
+            (b.qb, b.qe, b.qsize, b.rb, b.re, b.rsize)
+        assert a.qstr == b.qstr and a.tstr == b.tstr
+
+
+def test_align_to_similar_genome(dataset):
+    """The delta/alpha/beta path: align reads against the diverged similar
+    genome; most reads must still align."""
+    reads = SeqDatabase(dataset["reads"][:20])
+    similar = SeqDatabase(dataset["similar"])
+    alns = LongReadAligner(similar, small_cfg()).align_reads(reads)
+    aligned = {a.query_name for a in alns}
+    assert len(aligned) >= 0.8 * len(reads)
+
+
+def test_align_chunked_contigs(dataset):
+    contigs = SeqDatabase(dataset["contigs"])
+    similar = SeqDatabase(dataset["similar"])
+    cfg = small_cfg(chunk_len=1000)
+    alns = align_chunked(similar, contigs, cfg)
+    assert len(alns) >= 2
+    covered = {a.query_name for a in alns}
+    assert covered == set(contigs.names)
+    for a in alns:
+        assert a.qsize == contigs.size(contigs.seq_id(a.query_name))
+        assert a.qe <= a.qsize
+        # chunk offset rewrite must keep target strings honest
+        sseq = similar.get_str(similar.seq_id(a.ref_name))
+        assert a.tstr.replace("-", "") == sseq[a.rb:a.re]
