@@ -1,0 +1,265 @@
+"""End-to-end pipeline driver.
+
+Replaces /root/reference/AlignGraph2.py:121-529: the 8-stage flow with
+per-stage content-addressed caching, the same working-directory layout,
+and the same final outputs (final.fasta, remainder.fasta, exclude.fasta,
+add.fasta, connect_info.txt).
+
+Stages:
+  1. solid k-mer set                 (kmer_counter)
+  2. reads -> contigs alignment      (mecat2ref)
+  3. reads -> similar genome         (mecat2ref+ / fallback)
+  4. contigs -> similar genome       (long2ref / nucmer+paf2aln)
+  5. contig grouping                 (pre_process + split_helper)
+  6. per-group graph build+traversal (pagraph) and merge
+  7. extract + reads -> new contigs  (extract.py + mecat2ref + split)
+  8. windowed consensus + merge      (pa_cns + merge)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+from ..align.aligner import LongReadAligner, align_chunked
+from ..align.records import AlignmentSet
+from ..config import PipelineConfig
+from ..consensus.window import consensus_backbone
+from ..coords.mapper import PositionMapper
+from ..graph.pagraph import PAGraph
+from ..graph.processor import GroupSpec, PositionProcessor
+from ..io.fasta import concat_files, write_fasta
+from ..io.seqdb import SeqDatabase
+from ..ops.kmer import count_reads, read_solid_set, write_solid_set
+from ..traverse.assembly import assemble_group
+from ..traverse.walk import TravelState
+from .cache import StageCache
+from .preprocess import (group_contigs, group_read_names, subset_alignments,
+                         write_config)
+
+
+@dataclass
+class PipelineResult:
+    final_fasta: str
+    out_dir: str
+    stats: Dict[str, object] = field(default_factory=dict)
+
+
+def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
+                 out_dir: str, cfg: PipelineConfig | None = None,
+                 log=print) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    cfg.validate()
+    t0 = time.time()
+    stats: Dict[str, object] = {}
+
+    wrk = os.path.join(out_dir, "working_dir")
+    dirs = {name: os.path.join(wrk, *path.split("/")) for name, path in {
+        "mecat_ctg": "mecat/ctg", "mecat_ref": "mecat/ref",
+        "mummer": "mummer", "input": "input/p", "pagraph": "pagraph",
+        "pagraph_m": "pagraph2", "cns_in": "cns/input",
+        "cns_out": "cns/output", "cns_wrk": "cns/wrk",
+    }.items()}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    read_path = os.path.realpath(read_path)
+    ctg_path = os.path.realpath(ctg_path)
+    genome_path = os.path.realpath(genome_path)
+
+    log("Loading inputs...")
+    reads = SeqDatabase.from_file(read_path)
+    ctgs = SeqDatabase.from_file(ctg_path)
+    refs = SeqDatabase.from_file(genome_path)
+    stats["n_reads"] = len(reads)
+    stats["n_contigs"] = len(ctgs)
+    stats["n_refs"] = len(refs)
+
+    # ---- 1. solid k-mer set ----
+    log("K-Mer counting...")
+    solid_path = os.path.join(wrk, "solid_kmer_set.bin")
+    cache = StageCache(wrk)
+    if not (cache.check(read_path) and cache.check_args(k=cfg.graph.k)
+            and os.path.exists(solid_path)):
+        counter = count_reads(reads, cfg.graph.k,
+                              batch_reads=cfg.aligner.batch_reads)
+        solid = counter.solid_codes(cfg.graph.solid_threshold)
+        write_solid_set(solid_path, cfg.graph.k, solid)
+        cache.save(read_path)
+        cache.save_args(k=cfg.graph.k)
+        log(f"Done: {len(solid)} solid k-mers")
+    else:
+        log("Reuse")
+    _, solid = read_solid_set(solid_path)
+    stats["n_solid"] = len(solid)
+
+    # ---- 2. reads -> contigs ----
+    log("Read to Contig...")
+    r2c_path = os.path.join(dirs["mecat_ctg"], "read_to_contig.ref")
+    c_cache = StageCache(dirs["mecat_ctg"])
+    if not (c_cache.check(read_path, ctg_path)
+            and os.path.exists(r2c_path)):
+        r2c = LongReadAligner(ctgs, cfg.aligner).align_reads(reads)
+        r2c.write_ref(r2c_path)
+        c_cache.save(read_path, ctg_path)
+        log(f"Done: {len(r2c)} alignments")
+    else:
+        r2c = AlignmentSet.read_ref(r2c_path)
+        log("Reuse")
+    stats["n_read_to_ctg"] = len(r2c)
+
+    # ---- 3. reads -> similar genome ----
+    log("Read to Ref...")
+    r2r_path = os.path.join(dirs["mecat_ref"], "read_to_ref.ref")
+    r_cache = StageCache(dirs["mecat_ref"])
+    aln_args = dict(alpha=cfg.aligner.alpha, beta=cfg.aligner.beta,
+                    delta=cfg.aligner.delta)
+    if not (r_cache.check(read_path, genome_path)
+            and r_cache.check_args(**aln_args)
+            and os.path.exists(r2r_path)):
+        r2r = LongReadAligner(refs, cfg.aligner).align_reads(reads)
+        r2r.write_ref(r2r_path)
+        r_cache.save(read_path, genome_path)
+        r_cache.save_args(**aln_args)
+        log(f"Done: {len(r2r)} alignments")
+    else:
+        r2r = AlignmentSet.read_ref(r2r_path)
+        log("Reuse")
+    stats["n_read_to_ref"] = len(r2r)
+
+    # ---- 4. contigs -> similar genome ----
+    log("Contig to Ref...")
+    c2r_path = os.path.join(dirs["mummer"], "ctg_to_ref.ref")
+    m_cache = StageCache(dirs["mummer"])
+    if not (m_cache.check(ctg_path, genome_path)
+            and os.path.exists(c2r_path)):
+        c2r = align_chunked(refs, ctgs, cfg.aligner)
+        c2r.write_ref(c2r_path)
+        m_cache.save(ctg_path, genome_path)
+        log(f"Done: {len(c2r)} alignments")
+    else:
+        c2r = AlignmentSet.read_ref(c2r_path)
+        log("Reuse")
+    stats["n_ctg_to_ref"] = len(c2r)
+
+    # ---- 5. contig grouping ----
+    log("Pre process...")
+    groups = group_contigs(ctgs, c2r, cfg.preprocess.group_top_k,
+                           cfg.preprocess.group_cover_ratio)
+    write_config(os.path.join(dirs["input"], "config.txt"), groups)
+    log(f"Done: {len(groups)} reference groups")
+    stats["n_groups"] = len(groups)
+
+    # ---- 6. per-group graph + traversal ----
+    log("PAGraph...")
+    graph = PAGraph(solid, cfg.graph.k)
+    all_success: set = set()
+    connections: List[dict] = []
+    for gi, group in enumerate(groups):
+        gdir = os.path.join(dirs["pagraph"], str(gi))
+        os.makedirs(gdir, exist_ok=True)
+        log(f"  group {gi}: ref={group.ref_name} "
+            f"contigs={len(group.contigs)}")
+        member_names = {n for n, _ in group.contigs}
+        g_ctgs = SeqDatabase((n, s) for n, s in ctgs.records()
+                             if n in member_names)
+        g_refs = SeqDatabase((n, s) for n, s in refs.records()
+                             if n == group.ref_name)
+        read_names = group_read_names(
+            group, subset_alignments(r2c, None, member_names),
+            subset_alignments(r2r, None, {group.ref_name}))
+        g_reads = SeqDatabase((n, s) for n, s in reads.records()
+                              if n in read_names)
+        g_r2c = subset_alignments(r2c, read_names, member_names)
+        g_r2r = subset_alignments(r2r, read_names, {group.ref_name})
+        g_c2r = subset_alignments(c2r, member_names, {group.ref_name})
+
+        graph.reset()
+        pp = PositionProcessor(graph, g_reads, g_ctgs, g_refs, g_r2c,
+                               g_r2r, g_c2r, group, cfg.graph)
+        pp.pre_process()
+        pp.process(log=log)
+        st = TravelState(
+            graph=graph, ctgs=g_ctgs, refs=g_refs,
+            ctg_mapper=pp.ctg_mapper, ref_mapper=pp.ref_mapper,
+            deviation=cfg.graph.epsilon * 2,
+            error_rate=cfg.graph.error_rate,
+            start_split=cfg.graph.start_split, min_len=cfg.graph.min_len,
+            top_k=cfg.graph.travel_top_k)
+        res = assemble_group(st, group.contigs, gdir, f"{gi}_")
+        all_success |= res.success
+        connections.extend(res.connections)
+        with open(os.path.join(gdir, "DONE"), "w"):
+            pass
+    log(f"Done: {len(connections)} assembled chains, "
+        f"{len(all_success)} contigs consumed")
+    stats["n_chains"] = len(connections)
+    stats["consumed"] = sorted(n for n, _ in all_success)
+
+    # merged outputs (split_helper.merge_out semantics)
+    contig_txt = os.path.join(dirs["pagraph_m"], "contig.txt")
+    with open(contig_txt, "w") as f:
+        for name in sorted({n for n, _ in all_success}):
+            f.write(name + "\n")
+    coninfo = os.path.join(dirs["pagraph_m"], "coninfo")
+    with open(coninfo, "w") as f:
+        for c in connections:
+            f.write(f"{c['name']}\t{c['length']}\n")
+            for cname, cfwd, clen in c["members"]:
+                f.write(f"{cname}\t{'FORWARD' if cfwd else 'REV'}"
+                        f"\t{clen}\n")
+            f.write("\n")
+
+    # ---- 7. extract + align reads to new contigs ----
+    log("Extract and split...")
+    consumed = {n for n, _ in all_success}
+    include = [(n, s) for n, s in ctgs.records() if n not in consumed]
+    exclude = [(n, s) for n, s in ctgs.records() if n in consumed]
+    add = [(c["name"], c["sequence"]) for c in connections]
+    cns_in = dirs["cns_in"]
+    write_fasta(os.path.join(cns_in, "include.fasta"), include)
+    write_fasta(os.path.join(cns_in, "exclude.fasta"), exclude)
+    write_fasta(os.path.join(cns_in, "add.fasta"), add)
+    write_fasta(os.path.join(cns_in, "all.fasta"), include + add)
+
+    log("Align and split...")
+    cor_records = []
+    if add:
+        all_db = SeqDatabase(include + add)
+        merge_alns = LongReadAligner(all_db, cfg.aligner).align_reads(reads)
+        merge_alns.write_ref(os.path.join(dirs["cns_wrk"], "merge.ref"))
+        per_backbone: Dict[str, AlignmentSet] = {
+            name: AlignmentSet() for name, _ in add}
+        for a in merge_alns:
+            if a.ref_name in per_backbone:
+                per_backbone[a.ref_name].append(a)
+
+        # ---- 8. windowed consensus ----
+        log("Correct...")
+        for name, seq in add:
+            log(f"\tcorrecting {name}")
+            cns = consensus_backbone(seq, per_backbone[name],
+                                     cfg.consensus,
+                                     threads=cfg.runtime.threads)
+            cor_records.append((name, cns if cns else seq))
+    cor_path = os.path.join(dirs["cns_out"], "cor.fasta")
+    write_fasta(cor_path, cor_records)
+
+    # ---- final outputs ----
+    final_path = os.path.join(out_dir, "final.fasta")
+    write_fasta(final_path, include + cor_records)
+    write_fasta(os.path.join(out_dir, "remainder.fasta"), include)
+    write_fasta(os.path.join(out_dir, "exclude.fasta"), exclude)
+    write_fasta(os.path.join(out_dir, "add.fasta"), cor_records)
+    import shutil
+    shutil.copyfile(coninfo, os.path.join(out_dir, "connect_info.txt"))
+
+    stats["wall_s"] = time.time() - t0
+    log(f"Final output: {final_path}")
+    log(f"Time used: {stats['wall_s']:.3f} seconds")
+    return PipelineResult(final_fasta=final_path, out_dir=out_dir,
+                          stats=stats)
