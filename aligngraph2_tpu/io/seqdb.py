@@ -65,9 +65,25 @@ class SeqDatabase:
         self._name_to_id: Dict[str, int] = {n: i for i, n in enumerate(names)}
 
     @classmethod
-    def from_file(cls, path: str) -> "SeqDatabase":
+    def from_file(cls, path: str, use_native: bool = True) -> "SeqDatabase":
+        if use_native:
+            from .native import load_seqs_native
+            loaded = load_seqs_native(path)
+            if loaded is not None:
+                return cls.from_arrays(*loaded)
         from .fasta import read_seqs
         return cls(read_seqs(path))
+
+    @classmethod
+    def from_arrays(cls, codes: np.ndarray, offsets: np.ndarray,
+                    names) -> "SeqDatabase":
+        db = cls()
+        db.codes = codes
+        db.offsets = np.asarray(offsets, dtype=np.int64)
+        db.lengths = np.diff(db.offsets)
+        db.names = list(names)
+        db._name_to_id = {n: i for i, n in enumerate(db.names)}
+        return db
 
     def __len__(self) -> int:
         return len(self.names)

@@ -1,0 +1,100 @@
+"""End-to-end pipeline test on a synthetic dataset: two draft contigs with
+gaps, reads spanning the gaps, a diverged similar genome.  The pipeline
+must produce final.fasta whose longest record is a connected/extended
+contig covering more of the genome than any input contig."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aligngraph2_tpu.config import PipelineConfig
+from aligngraph2_tpu.io.fasta import write_fasta, write_fastq
+from aligngraph2_tpu.io import read_seqs
+from aligngraph2_tpu.pipeline.driver import run_pipeline
+from tests.synth import make_dataset
+
+
+def small_cfg():
+    cfg = PipelineConfig()
+    cfg.aligner.band_width = 128
+    cfg.aligner.min_aln_len = 150
+    cfg.aligner.min_block_hits = 3
+    cfg.aligner.seed_k = 11
+    cfg.aligner.delta = 0.5
+    cfg.aligner.chunk_len = 1500
+    cfg.graph.k = 12
+    cfg.graph.solid_threshold = 0.05
+    cfg.consensus.window = 2000
+    cfg.consensus.top_k = 200
+    cfg.runtime.threads = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    ds = make_dataset(seed=21, genome_len=6000, coverage=14, mean_read=1000,
+                      read_err=0.02, n_contigs=2, contig_gap=350)
+    read_path = str(tmp / "reads.fq")
+    ctg_path = str(tmp / "ctg.fa")
+    ref_path = str(tmp / "genome.fa")
+    write_fastq(read_path, ds["reads"])
+    write_fasta(ctg_path, ds["contigs"])
+    write_fasta(ref_path, ds["similar"])
+    out = str(tmp / "out")
+    res = run_pipeline(read_path, ctg_path, ref_path, out, small_cfg(),
+                       log=lambda *a: None)
+    return {"ds": ds, "res": res, "tmp": tmp,
+            "paths": (read_path, ctg_path, ref_path)}
+
+
+def test_outputs_exist(pipeline_run):
+    res = pipeline_run["res"]
+    assert os.path.exists(res.final_fasta)
+    for f in ("remainder.fasta", "exclude.fasta", "add.fasta",
+              "connect_info.txt"):
+        assert os.path.exists(os.path.join(res.out_dir, f))
+
+
+def test_assembly_extends(pipeline_run):
+    ds = pipeline_run["ds"]
+    recs = list(read_seqs(pipeline_run["res"].final_fasta))
+    assert recs, "final.fasta empty"
+    longest = max(len(s) for _, s in recs)
+    max_ctg = max(len(s) for _, s in ds["contigs"])
+    assert longest > max_ctg * 1.1, \
+        f"no extension: longest={longest} vs contig={max_ctg}"
+
+
+def test_final_matches_genome(pipeline_run):
+    """The longest output contig should align to the true genome with high
+    identity over most of its length."""
+    from aligngraph2_tpu.config import AlignerConfig
+    from aligngraph2_tpu.io.seqdb import SeqDatabase
+    from aligngraph2_tpu.align.aligner import LongReadAligner
+    ds = pipeline_run["ds"]
+    recs = list(read_seqs(pipeline_run["res"].final_fasta))
+    name, seq = max(recs, key=lambda r: len(r[1]))
+    genome_db = SeqDatabase([("truth", ds["genome"])])
+    probe_db = SeqDatabase([("probe", seq.upper())])
+    acfg = AlignerConfig(band_width=256, min_aln_len=300, min_block_hits=3,
+                         seed_k=11, delta=0.5)
+    alns = LongReadAligner(genome_db, acfg).align_reads(probe_db)
+    assert alns, "assembled contig does not align to the true genome"
+    best = alns[0]
+    span = best.qe - best.qb
+    assert span > 0.8 * len(seq)
+    matches = sum(1 for a, b in zip(best.qstr, best.tstr) if a == b)
+    assert matches / len(best.qstr) > 0.9
+
+
+def test_stage_caching_reuse(pipeline_run):
+    """Re-running the pipeline must reuse cached alignment stages."""
+    read_path, ctg_path, ref_path = pipeline_run["paths"]
+    out = str(pipeline_run["tmp"] / "out")
+    msgs = []
+    run_pipeline(read_path, ctg_path, ref_path, out, small_cfg(),
+                 log=msgs.append)
+    joined = "\n".join(str(m) for m in msgs)
+    assert joined.count("Reuse") >= 3
