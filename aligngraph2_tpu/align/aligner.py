@@ -35,11 +35,16 @@ def _bucket(n: int, lo: int = 512) -> int:
 
 
 class LongReadAligner:
-    def __init__(self, target_db: SeqDatabase, cfg: AlignerConfig):
+    def __init__(self, target_db: SeqDatabase, cfg: AlignerConfig,
+                 use_pallas: bool | None = None):
         self.db = target_db
         self.cfg = cfg
         self.index = SeedIndex(target_db, cfg.seed_k,
                                stride=cfg.seed_stride)
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
 
     # ---------------- candidate generation ----------------
 
@@ -79,15 +84,19 @@ class LongReadAligner:
         i = 0
         while i < len(jobs):
             NQ = _bucket(len(jobs[i][2]))
-            NT = NQ + 2 * W
-            # batch size from a ~64 MB dirs budget
-            B = max(1, min(64, (64 << 20) // (NQ * W)))
+            pallas_ok = self.use_pallas and NQ <= 32768
+            B = self._batch_size(NQ, pallas_ok)
             batch = []
             while i < len(jobs) and len(batch) < B \
                     and _bucket(len(jobs[i][2])) == NQ:
                 batch.append(jobs[i])
                 i += 1
-            self._extend_batch(read_db, batch, NQ, NT, out, best_per_read)
+            if pallas_ok:
+                self._extend_batch_pallas(read_db, batch, NQ, out,
+                                          best_per_read)
+            else:
+                self._extend_batch(read_db, batch, NQ, NQ + 2 * W, out,
+                                   best_per_read)
 
         # delta filter: drop alignments scoring < delta * read best
         # (recovered mecat2ref+ '-y delta' semantics, see seedextend.py)
@@ -98,13 +107,94 @@ class LongReadAligner:
         res.sort_by_score()
         return res
 
+    def _batch_size(self, NQ: int, pallas: bool) -> int:
+        if pallas:
+            # bound the dirs stream to ~2 GB; big batches amortize the
+            # latency-bound traceback steps across lanes
+            W = max(self.cfg.band_width, 256)
+            b = (2 << 30) // (NQ * W)
+            return int(np.clip(b // 128 * 128, 128, 512))
+        return max(1, min(64, (64 << 20) // (NQ * self.cfg.band_width)))
+
+    def _emit(self, read_db, rid, cand, codes, score, qstr, tstr,
+              qb, qe, rb, re, out: AlignmentSet, best_per_read) -> None:
+        cfg = self.cfg
+        if qe - qb < cfg.min_aln_len:
+            return
+        matches = sum(1 for a, c in zip(qstr, tstr) if a == c)
+        if matches < cfg.min_identity * len(qstr):
+            return
+        n = len(codes)
+        if cand.forward:
+            qb_f, qe_f = qb, qe
+        else:
+            qb_f, qe_f = n - qe, n - qb
+        a = Alignment(
+            query_name=read_db.names[rid],
+            ref_name=self.db.names[cand.tid],
+            forward=cand.forward, score=score,
+            qb=qb_f, qe=qe_f, qsize=n,
+            rb=rb, re=re, rsize=self.db.size(cand.tid),
+            qstr=qstr, tstr=tstr)
+        if self._is_duplicate(out, a):
+            return
+        out.append(a)
+        if score > best_per_read.get(a.query_name, 0):
+            best_per_read[a.query_name] = score
+
+    def _extend_batch_pallas(self, read_db: SeqDatabase, batch, NQ,
+                             out: AlignmentSet, best_per_read) -> None:
+        """Pallas fast path: static band in the standard frame."""
+        from ..ops.banded_pallas import (Q_SENTINEL, banded_align_pallas,
+                                         standard_frame_windows,
+                                         traceback_t)
+        cfg = self.cfg
+        W = max(cfg.band_width, 256)
+        TB = 128
+        B = ((len(batch) + TB - 1) // TB) * TB
+        q = np.full((B, NQ), Q_SENTINEL, np.uint8)
+        t_codes = []
+        diags = []
+        for b, (rid, cand, codes) in enumerate(batch):
+            q[b, :len(codes)] = codes
+            t_codes.append(self.db.get_codes(cand.tid))
+            diags.append(cand.diag)
+        t_codes += [np.zeros(0, np.uint8)] * (B - len(batch))
+        diags += [0] * (B - len(batch))
+        t, starts = standard_frame_windows(t_codes, diags, NQ, W)
+        res = banded_align_pallas(q, t, W=W, match=cfg.match_score,
+                                  mismatch=cfg.mismatch_score,
+                                  gap=cfg.gap_score)
+        moves, nmoves, si, sj = traceback_t(res.dirs_t, res.best_i,
+                                            res.best_j,
+                                            max_steps=2 * NQ + W, W=W)
+        moves = np.asarray(moves)
+        scores = np.asarray(res.score)
+        si = np.asarray(si)
+        sj = np.asarray(sj)
+        for b, (rid, cand, codes) in enumerate(batch):
+            score = int(scores[b])
+            if score <= 0:
+                continue
+            qb = int(si[b])
+            tb = int(si[b] + sj[b])   # standard frame: p = i + j
+            win = np.minimum(t[b], 3)  # sentinel-safe decode
+            qstr, tstr, qe, te = moves_to_strings(moves[b], codes, qb, tb,
+                                                  win)
+            rb = int(starts[b] + tb)
+            re = int(starts[b] + te)
+            if rb < 0 or re > self.db.size(cand.tid):
+                continue  # degenerate path through sentinel padding
+            self._emit(read_db, rid, cand, codes, score, qstr, tstr,
+                       qb, qe, rb, re, out, best_per_read)
+
     def _extend_batch(self, read_db: SeqDatabase, batch, NQ, NT,
                       out: AlignmentSet, best_per_read) -> None:
         cfg = self.cfg
         W = cfg.band_width
         # fixed batch shape per bucket: pad with inert jobs so jit compiles
         # once per (B, NQ) bucket instead of once per ragged batch
-        B = max(1, min(64, (64 << 20) // (NQ * W)))
+        B = self._batch_size(NQ, False)
         q = np.zeros((B, NQ), np.uint8)
         t = np.zeros((B, NT), np.uint8)
         qlen = np.zeros(B, np.int32)
@@ -145,31 +235,10 @@ class LongReadAligner:
             win = tcodes[ws_arr[b]:ws_arr[b] + NT]
             qstr, tstr, qe, te = moves_to_strings(moves[b], codes, qb, tb,
                                                   win)
-            if qe - qb < cfg.min_aln_len:
-                continue
-            matches = sum(1 for a, c in zip(qstr, tstr) if a == c)
-            if matches < cfg.min_identity * len(qstr):
-                continue
-            n = len(codes)
             rb = int(ws_arr[b] + tb)
             re = int(ws_arr[b] + te)
-            if cand.forward:
-                qb_f, qe_f = qb, qe
-            else:
-                qb_f, qe_f = n - qe, n - qb
-            a = Alignment(
-                query_name=read_db.names[rid],
-                ref_name=self.db.names[cand.tid],
-                forward=cand.forward, score=score,
-                qb=qb_f, qe=qe_f, qsize=n,
-                rb=rb, re=re, rsize=self.db.size(cand.tid),
-                qstr=qstr, tstr=tstr)
-            if self._is_duplicate(out, a):
-                continue
-            out.append(a)
-            prev = best_per_read.get(a.query_name, 0)
-            if score > prev:
-                best_per_read[a.query_name] = score
+            self._emit(read_db, rid, cand, codes, score, qstr, tstr,
+                       qb, qe, rb, re, out, best_per_read)
 
     @staticmethod
     def _is_duplicate(out: AlignmentSet, a: Alignment) -> bool:

@@ -5,22 +5,32 @@ banded_dp.py remains as the adaptive-band/CPU-compat path).  Design:
 
   * STATIC band in the "standard frame": target windows are constructed
     so the seed diagonal sits exactly at band center (c0 = W/2), hence
-    the cell (i, j) always reads t[i-1+j] — a plain dynamic row slice,
-    no per-batch gathers.  W defaults to 512, covering +-256 of diagonal
-    drift (PacBio indel random walk over 10-20 kb stays well inside).
+    the cell (i, j) always reads t[i-1+j].  W defaults to 512, covering
+    +-256 of diagonal drift (a PacBio indel random walk over 10-20 kb
+    stays well inside).
   * sentinel masking instead of explicit validity masks: q pads with 254,
     t pads with 255 — sentinels never match anything, so out-of-range
     cells can never rise above the local-alignment floor of 0.
-  * the row loop lives INSIDE the kernel; the Pallas grid is
-    (batch_tiles, row_chunks) with the DP state (H, best) carried across
-    row chunks in VMEM scratch (TPU grid steps execute sequentially).
-  * direction bits stream out per row-chunk as (TB, K, W) uint8 blocks;
-    traceback reuses the device traceback of banded_dp (band centers are
-    constant in the standard frame).
+  * TRANSPOSED layout: all per-row tensors are (W, TB) with the BATCH on
+    the 128-wide lane dimension (TB = 128 alignments per program) and the
+    band on sublanes.  Mosaic requires dynamic indices on the tiled
+    (last two) dims to be tile-aligned; in this layout every per-row
+    access is either a static sublane slice (the target window, unrolled
+    over the chunk's K rows) or a leading-dim store (dirs), so nothing
+    fights the tiling rules and lane utilization is 100%.
+  * the row loop lives INSIDE the kernel, fully unrolled over a K-row
+    chunk; the Pallas grid is (batch_tiles, row_chunks) with the DP
+    state (H, best) carried across row chunks in VMEM scratch (TPU grid
+    steps execute sequentially).
+  * the target window for a chunk overlaps the next (K + W rows), which
+    BlockSpec can't express — the caller pre-expands t into per-chunk
+    slabs (n_chunks, K+W, B); t is ~1000x smaller than the dirs stream,
+    so the duplication is noise.
+  * the query-gap chain is a log2(W)-step Kogge-Stone max-plus scan of
+    sublane shifts.
 
-Layout notes (pallas_guide.md): W is a multiple of 128 (lane width);
-per-row tensors are (TB, W) with TB >= 8 to fill sublanes; the
-query-gap chain uses a log2(W)-step Kogge-Stone max-plus scan.
+Direction codes match banded_dp (STOP/DIAG/UP/LEFT); traceback_t walks
+the transposed (NQ, W, B) dirs layout on device.
 """
 
 from __future__ import annotations
@@ -34,33 +44,50 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .banded_dp import BandedResult, STOP, DIAG, UP, LEFT
+from .banded_dp import STOP, DIAG, UP, LEFT
 
-NEG = jnp.int32(-(1 << 28))
+NEG = -(1 << 28)  # python int: pallas kernels cannot capture array consts
 Q_SENTINEL = 254
 T_SENTINEL = 255
 
 
-def _dp_kernel(q_ref, t_ref, best_ref, dirs_ref, H_scr, best_scr, *,
-               K, W, match, mismatch, gap, ks_shifts):
+def _dp_kernel(q_ref, slab_ref, best_ref, dirs_ref, H_scr, best_scr,
+               sub_scr, *, K, W, match, mismatch, gap, ks_shifts):
+    """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; best_ref (8, TB) i32;
+    dirs_ref (K, W, TB) u8; H_scr (W, TB) i32; best_scr (8, TB) i32;
+    sub_scr (K, W, TB) i8.
+
+    Per-row dynamic indexing only touches LEADING dims of >=3-D refs
+    (sub_scr reads, dirs_ref writes) — the tiled trailing dims see only
+    static or whole-block accesses, which keeps Mosaic's tile-alignment
+    rules satisfied."""
     chunk = pl.program_id(1)
+    TB = H_scr.shape[1]
 
     @pl.when(chunk == 0)
     def _init():
         H_scr[:] = jnp.zeros_like(H_scr)
         best_scr[:] = jnp.zeros_like(best_scr)
 
-    def row(r, _):
-        # global row index i = chunk*K + r + 1 consumes q[:, r] (local)
-        i = chunk * K + r + 1
-        H_prev = H_scr[:]
-        q_col = q_ref[:, r][:, None].astype(jnp.int32)        # (TB, 1)
-        t_row = t_ref[:, pl.ds(i - 1, W)].astype(jnp.int32)    # (TB, W)
-        sub = jnp.where(t_row == q_col, match, mismatch)
+    # phase 1: substitution rows for the chunk (static sliding windows)
+    t_slab = slab_ref[0].astype(jnp.int32)        # (K + W, TB)
+    q_all = q_ref[:].astype(jnp.int32)            # (K, TB)
+    for r in range(K):
+        sub_scr[r, :, :] = jnp.where(
+            t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
+            mismatch).astype(jnp.int8)
+
+    row_idx8 = jax.lax.broadcasted_iota(jnp.int32, best_scr.shape, 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+
+    # phase 2: sequential DP rows
+    def row(r, carry):
+        H, best = carry
+        i = chunk * K + (r + 1)                   # global row index
+        sub = sub_scr[r, :, :].astype(jnp.int32)
         up_vals = jnp.concatenate(
-            [H_prev[:, 1:], jnp.full((H_prev.shape[0], 1), NEG, jnp.int32)],
-            axis=1)
-        d_v = H_prev + sub
+            [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
+        d_v = H + sub
         u_v = up_vals + gap
         M = jnp.maximum(d_v, u_v)
         m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.uint8)
@@ -69,81 +96,127 @@ def _dp_kernel(q_ref, t_ref, best_ref, dirs_ref, H_scr, best_scr, *,
         H = M
         for sh in ks_shifts:
             shifted = jnp.concatenate(
-                [jnp.full((H.shape[0], sh), NEG, jnp.int32), H[:, :-sh]],
-                axis=1)
+                [jnp.full((sh, TB), NEG, jnp.int32), H[:-sh, :]], axis=0)
             H = jnp.maximum(H, shifted + gap * sh)
-        dirs = jnp.where(H > M, jnp.uint8(LEFT), m_dir)
-        H_scr[:] = H
-        dirs_ref[:, r, :] = dirs
-        # best tracking: (TB, 3) = score, i, j
-        r_max = jnp.max(H, axis=1)
-        r_arg = jnp.argmax(H, axis=1).astype(jnp.int32)
-        upd = r_max > best_scr[:, 0]
-        best_scr[:, 0] = jnp.where(upd, r_max, best_scr[:, 0])
-        best_scr[:, 1] = jnp.where(upd, i, best_scr[:, 1])
-        best_scr[:, 2] = jnp.where(upd, r_arg, best_scr[:, 2])
-        return 0
+        dirs_ref[r, :, :] = jnp.where(H > M, jnp.uint8(LEFT), m_dir)
+        # best tracking rows of (8, TB): 0 = score, 1 = i, 2 = j
+        r_max = jnp.max(H, axis=0, keepdims=True)              # (1, TB)
+        r_arg = jnp.min(jnp.where(H == r_max, j_idx, W), axis=0,
+                        keepdims=True)
+        upd = r_max > best[0:1, :]
+        cand = jnp.where(row_idx8 == 0, r_max,
+                         jnp.where(row_idx8 == 1,
+                                   jnp.full_like(r_max, i), r_arg))
+        best = jnp.where((row_idx8 <= 2) & upd, cand, best)
+        return H, best
 
-    jax.lax.fori_loop(0, K, row, 0)
-    best_ref[:] = best_scr[:]
+    H, best = jax.lax.fori_loop(0, K, row, (H_scr[:], best_scr[:]))
+    H_scr[:] = H
+    best_scr[:] = best
+    best_ref[:] = best
 
 
 class PallasBandedResult(NamedTuple):
-    score: jax.Array
-    best_i: jax.Array
-    best_j: jax.Array
-    dirs: jax.Array
-    centers: jax.Array  # constant W/2 frame, for traceback compat
+    score: jax.Array    # (B,) int32
+    best_i: jax.Array   # (B,) int32
+    best_j: jax.Array   # (B,) int32
+    dirs_t: jax.Array   # (NQ, W, B) uint8 — transposed layout
+    W: int
 
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "K", "TB", "match", "mismatch",
                                     "gap", "interpret"))
-def banded_align_pallas(q, t, *, W=512, K=256, TB=8, match=2, mismatch=-4,
+def banded_align_pallas(q, t, *, W=512, K=64, TB=128, match=2, mismatch=-4,
                         gap=-3, interpret=False) -> PallasBandedResult:
     """q: (B, NQ) uint8 padded with Q_SENTINEL beyond each query's length;
     t: (B, NQ + W) uint8 windows in the standard frame (seed diagonal at
-    W/2), padded with T_SENTINEL.  B % TB == 0, NQ % K == 0 required
+    W/2), padded with T_SENTINEL.  B % TB == 0 and NQ % K == 0 required
     (callers bucket-pad)."""
     B, NQ = q.shape
-    assert B % TB == 0 and NQ % K == 0
+    assert B % TB == 0 and NQ % K == 0, (B, TB, NQ, K)
     assert t.shape == (B, NQ + W)
+    n_chunks = NQ // K
+    qT = q.T                                      # (NQ, B)
+    tT = t.T                                      # (NQ + W, B)
+    # per-chunk overlapping slabs (n_chunks, K + W, B)
+    row_ids = (np.arange(n_chunks)[:, None] * K
+               + np.arange(K + W)[None, :])
+    slabs = tT[jnp.asarray(row_ids)]
     ks_shifts = tuple(1 << s for s in range(int(np.log2(W))))
     kernel = functools.partial(_dp_kernel, K=K, W=W, match=match,
                                mismatch=mismatch, gap=gap,
                                ks_shifts=ks_shifts)
-    grid = (B // TB, NQ // K)
-    best, dirs = pl.pallas_call(
+    grid = (B // TB, n_chunks)
+    best, dirs_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, K), lambda b, i: (b, i),
+            pl.BlockSpec((K, TB), lambda b, i: (i, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, NQ + W), lambda b, i: (b, 0),
+            pl.BlockSpec((1, K + W, TB), lambda b, i: (i, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, 3), lambda b, i: (b, 0),
+            pl.BlockSpec((8, TB), lambda b, i: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, K, W), lambda b, i: (b, i, 0),
+            pl.BlockSpec((K, W, TB), lambda b, i: (i, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 3), jnp.int32),
-            jax.ShapeDtypeStruct((B, NQ, W), jnp.uint8),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
+            jax.ShapeDtypeStruct((NQ, W, B), jnp.uint8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TB, W), jnp.int32),
-            pltpu.VMEM((TB, 3), jnp.int32),
+            pltpu.VMEM((W, TB), jnp.int32),
+            pltpu.VMEM((8, TB), jnp.int32),
+            pltpu.VMEM((K, W, TB), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, t)
-    centers = jnp.full((B, NQ + 1), W // 2, jnp.int32)
-    return PallasBandedResult(best[:, 0], best[:, 1], best[:, 2], dirs,
-                              centers)
+    )(qT, slabs)
+    return PallasBandedResult(best[0], best[1], best[2], dirs_t, W)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "W"))
+def traceback_t(dirs_t, best_i, best_j, *, max_steps, W):
+    """Device traceback over the transposed (NQ, W, B) dirs layout with the
+    constant standard-frame band (diag pred keeps j, up pred j+1, left
+    pred j-1).
+
+    Returns (moves (B, max_steps) uint8 END->START, n_moves, start_i,
+    start_j); the alignment's target start is start_i + start_j."""
+    NQ, _, B = dirs_t.shape
+    barange = jnp.arange(B, dtype=jnp.int32)
+
+    def cond(carry):
+        step_no, i, j, active, moves = carry
+        return (step_no < max_steps) & jnp.any(active)
+
+    def body(carry):
+        step_no, i, j, active, moves = carry      # i/j/active: (B,)
+        ii = jnp.maximum(i - 1, 0)
+        cur = dirs_t[ii, jnp.clip(j, 0, W - 1), barange]
+        cur = jnp.where(active & (i > 0), cur, STOP)
+        ni = jnp.where(cur == LEFT, i, i - 1)
+        nj = jnp.where(cur == LEFT, j - 1,
+                       jnp.where(cur == DIAG, j, j + 1))
+        emit = jnp.where(cur == STOP, 0, cur).astype(jnp.uint8)
+        moves = jax.lax.dynamic_update_slice(
+            moves, emit[:, None], (0, step_no))
+        live = active & (cur != STOP)
+        i = jnp.where(live, ni, i)
+        j = jnp.where(live, nj, j)
+        return step_no + 1, i, j, live, moves
+
+    moves0 = jnp.zeros((B, max_steps), jnp.uint8)
+    _, si, sj, _, moves = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_i, best_j,
+                     jnp.ones_like(best_i, dtype=bool), moves0))
+    n = jnp.sum((moves != 0).astype(jnp.int32), axis=1)
+    return moves, n, si, sj
 
 
 def standard_frame_windows(t_codes_list, diags, NQ, W):

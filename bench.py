@@ -38,6 +38,7 @@ def make_inputs(rng, B, NQ, W):
 
 
 def measure(device, B, NQ, W, iters=5):
+    """Scan-path kernel rate (used for the CPU baseline)."""
     import jax
     from aligngraph2_tpu.ops.banded_dp import banded_align
 
@@ -58,41 +59,87 @@ def measure(device, B, NQ, W, iters=5):
     return cells / dt
 
 
-def _cpu_baseline():
-    import subprocess
-    import sys
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env.pop("PYTHONPATH", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    code = (
-        "import sys; sys.path.insert(0, %r)\n"
-        "from bench import measure\n"
-        "import jax\n"
-        "print('RATE', measure(jax.devices()[0], B=4, NQ=1024, W=256, "
-        "iters=2))\n" % os.path.dirname(os.path.abspath(__file__)))
-    try:
-        out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=900)
-        for line in out.stdout.splitlines():
-            if line.startswith("RATE "):
-                return float(line.split()[1])
-    except (subprocess.TimeoutExpired, OSError):
-        pass
-    return None
+def measure_pallas(B, NQ, W, iters=5):
+    """Pallas kernel rate including traceback (the full TPU hot path)."""
+    import jax
+    from aligngraph2_tpu.ops.banded_pallas import (banded_align_pallas,
+                                                   traceback_t, T_SENTINEL)
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (B, NQ)).astype(np.uint8)
+    noise = rng.random((B, NQ)) < 0.1
+    planted = np.where(noise, rng.integers(0, 4, (B, NQ)).astype(np.uint8),
+                       q)
+    t = np.full((B, NQ + W), T_SENTINEL, np.uint8)
+    t[:, W // 2:W // 2 + NQ] = planted
+    qd = jax.device_put(q)
+    td = jax.device_put(t)
+
+    def run():
+        r = banded_align_pallas(qd, td, W=W, K=64)
+        m, n, si, sj = traceback_t(r.dirs_t, r.best_i, r.best_j,
+                                   max_steps=2 * NQ, W=W)
+        # NOTE: np.asarray, not block_until_ready — the axon relay's
+        # block_until_ready returns before execution finishes; a host
+        # copy is the only honest synchronization point.
+        np.asarray(m[:, :4])
+        np.asarray(r.score)
+        return r
+
+    run()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    return B * NQ * W / dt
+
+
+def _cpu_baseline(B=4, NQ=2048, W=256, iters=3):
+    """Numpy banded DP (vectorized per row over the band) — a fair proxy
+    for a well-written CPU implementation on this host, with no XLA
+    compile cost.  Same recurrence as the kernels (local, linear gaps,
+    Kogge-Stone left chain)."""
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (B, NQ)).astype(np.int8)
+    t = rng.integers(0, 4, (B, NQ + W)).astype(np.int8)
+    t[:, W // 2:W // 2 + NQ] = q
+    NEG = -(1 << 28)
+
+    def run():
+        H = np.zeros((B, W), np.int32)
+        best = np.zeros(B, np.int32)
+        for i in range(1, NQ + 1):
+            tw = t[:, i - 1:i - 1 + W].astype(np.int32)
+            sub = np.where(tw == q[:, i - 1:i].astype(np.int32), 2, -4)
+            up = np.concatenate(
+                [H[:, 1:], np.full((B, 1), NEG, np.int32)], axis=1)
+            M = np.maximum(np.maximum(H + sub, up - 3), 0)
+            H = M
+            sh = 1
+            while sh < W:
+                shifted = np.concatenate(
+                    [np.full((B, sh), NEG, np.int32), H[:, :-sh]], axis=1)
+                H = np.maximum(H, shifted - 3 * sh)
+                sh <<= 1
+            best = np.maximum(best, H.max(axis=1))
+        return best
+
+    run()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    return B * NQ * W / dt
 
 
 def main():
     import jax
 
     tpu_devs = [d for d in jax.devices() if d.platform != "cpu"]
-    cpu_devs = jax.devices("cpu") if not tpu_devs else None
     if tpu_devs:
-        dev = tpu_devs[0]
-        rate = measure(dev, B=128, NQ=8192, W=256, iters=5)
+        rate = measure_pallas(B=512, NQ=8192, W=512, iters=5)
     else:
-        dev = jax.devices()[0]
-        rate = measure(dev, B=16, NQ=2048, W=256, iters=3)
+        rate = measure(jax.devices()[0], B=16, NQ=2048, W=256, iters=3)
 
     # CPU baseline (small shape, normalized per cell), scaled to the
     # reference's 16 threads from this host's 2 vCPUs.  Run in a clean
