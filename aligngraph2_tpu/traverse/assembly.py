@@ -82,6 +82,8 @@ def _combat_seq(results: List[Travel], st: TravelState, start_idx: int,
 def assemble_group(st: TravelState, ctg_set: List[Tuple[str, bool]],
                    out_dir: Optional[str], prefix: str) -> AssemblyResult:
     ctgs = st.ctgs
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     n = len(ctgs)
     results: List[Travel] = [[] for _ in range(2 * n)]
     in_degrees = np.zeros(2 * n, np.int64)
