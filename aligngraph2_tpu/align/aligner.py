@@ -67,13 +67,19 @@ class LongReadAligner:
         if ids is None:
             ids = range(len(read_db))
 
-        # phase 1: seeding (host) -> job list
+        # phase 1: batched seeding (host, one searchsorted per chunk)
+        from ..ops.seedextend import find_candidates_batch
+        cand_map = find_candidates_batch(
+            self.index, read_db, list(ids),
+            bin_w=max(cfg.band_width // 2, 32),
+            max_candidates=cfg.max_candidates,
+            min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta)
         jobs = []  # (rid, cand, codes_aligned_strand)
-        for rid in ids:
-            codes_f = read_db.get_codes(rid)
-            if len(codes_f) < cfg.seed_k:
+        for rid, cands in cand_map.items():
+            if not cands:
                 continue
-            for cand in self._read_candidates(codes_f):
+            codes_f = read_db.get_codes(rid)
+            for cand in cands:
                 codes = codes_f if cand.forward else revcomp_codes(codes_f)
                 jobs.append((rid, cand, codes))
 

@@ -90,6 +90,125 @@ class Candidate:
     score: float      # clamped ranking score
 
 
+def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta):
+    """Dedupe near-diagonal duplicates, apply the alpha/beta clamp, rank."""
+    if not cands:
+        return []
+    cands.sort(key=lambda c: -c.hits)
+    kept = []
+    for c in cands:
+        dup = any(k.tid == c.tid and k.forward == c.forward
+                  and abs(k.diag - c.diag) <= bin_w for k in kept)
+        if not dup:
+            kept.append(c)
+    mean_hits = float(np.mean([c.hits for c in kept]))
+    for c in kept:
+        c.score = float(np.clip(c.hits, alpha * mean_hits,
+                                beta * mean_hits))
+    kept.sort(key=lambda c: -c.score)
+    return kept[:max_candidates]
+
+
+def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
+                          max_candidates: int, min_hits: int, alpha: float,
+                          beta: float, chunk_kmers: int = 32_000_000):
+    """Vectorized seeding over MANY reads at once.
+
+    One searchsorted over the concatenated k-mers of a whole read chunk
+    replaces the per-read loops; candidate bins are found with a single
+    np.unique over packed (read, strand, target, diagonal-bin) keys.
+    Returns {read_id: [Candidate, ...]}.
+    """
+    from ..io.seqdb import revcomp_codes
+    k = index.k
+    out = {int(r): [] for r in ids}
+    ids = list(ids)
+    pos = 0
+    while pos < len(ids):
+        # build a chunk of reads bounded by total k-mer count
+        chunk = []
+        total = 0
+        while pos < len(ids) and total < chunk_kmers:
+            rid = int(ids[pos])
+            n = read_db.size(rid)
+            if n >= k:
+                chunk.append(rid)
+                total += 2 * (n - k + 1)
+            pos += 1
+        if not chunk:
+            continue
+        codes_list = []
+        tags = []     # (rid, strand) per kmer stream
+        for rid in chunk:
+            cf = read_db.get_codes(rid)
+            cr = revcomp_codes(cf)
+            for strand, cc in ((1, cf), (0, cr)):
+                kc = kmer_codes_np(cc, k)
+                codes_list.append(kc)
+                tags.append((rid, strand, len(kc)))
+        q_codes = np.concatenate(codes_list)
+        q_pos = np.concatenate([np.arange(n, dtype=np.int64)
+                                for _, _, n in tags])
+        stream_id = np.repeat(np.arange(len(tags), dtype=np.int64),
+                              [n for _, _, n in tags])
+
+        lo = np.searchsorted(index.sorted_codes, q_codes, side="left")
+        hi = np.searchsorted(index.sorted_codes, q_codes, side="right")
+        n_h = hi - lo
+        n_h = np.where(n_h > index.max_occ, 0, n_h)
+        total_h = int(n_h.sum())
+        if total_h == 0:
+            continue
+        rep = np.repeat(np.arange(len(q_codes), dtype=np.int64), n_h)
+        within = (np.arange(total_h, dtype=np.int64)
+                  - np.repeat(np.cumsum(n_h) - n_h, n_h))
+        tpos_g = index.sorted_pos[np.repeat(lo, n_h) + within]
+        tid = np.searchsorted(index.db.offsets, tpos_g, side="right") - 1
+        t_local = tpos_g - index.db.offsets[tid]
+        diag = t_local - q_pos[rep]
+        dbin = np.floor_divide(diag, bin_w)
+        sid = stream_id[rep]
+        # pack (stream, tid, dbin) into one int64 key; dbin in low bits so
+        # key+1 is the adjacent diagonal bin (pair smoothing)
+        B0 = np.int64(1) << 24
+        MAXB = np.int64(1) << 25
+        MAXT = np.int64(1) << 20
+        key = (sid * MAXT + tid) * MAXB + (dbin + B0)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        diag_s = diag[order]
+        uniq, starts, cnt = np.unique(key_s, return_index=True,
+                                      return_counts=True)
+        # smoothed count: own + next-adjacent-bin
+        nxt = np.searchsorted(uniq, uniq + 1)
+        nxt_ok = (nxt < len(uniq)) & (uniq[np.minimum(nxt, len(uniq) - 1)]
+                                      == uniq + 1)
+        smooth = cnt + np.where(nxt_ok, cnt[np.minimum(nxt, len(uniq) - 1)],
+                                0)
+        good = np.flatnonzero(smooth >= max(min_hits, 1))
+        per_stream: dict = {}
+        for g in good:
+            members = diag_s[starts[g]:starts[g] + cnt[g]]
+            if nxt_ok[g]:
+                g2 = nxt[g]
+                members = np.concatenate(
+                    [members, diag_s[starts[g2]:starts[g2] + cnt[g2]]])
+            s = int(uniq[g] // (MAXT * MAXB))
+            t = int((uniq[g] // MAXB) % MAXT)
+            rid, strand, _ = tags[s]
+            per_stream.setdefault((rid, strand), []).append(
+                Candidate(tid=t, forward=bool(strand),
+                          diag=int(np.median(members)),
+                          hits=int(smooth[g]), score=0.0))
+        by_read: dict = {}
+        for (rid, strand), cands in per_stream.items():
+            by_read.setdefault(rid, []).extend(cands)
+        for rid, cands in by_read.items():
+            out[rid] = _finalize_read_candidates(
+                cands, bin_w, max_candidates, alpha, beta)
+    return out
+
+
 def find_candidates(index: SeedIndex, q_codes_fwd: np.ndarray,
                     q_codes_rev: np.ndarray, *, bin_w: int,
                     max_candidates: int, min_hits: int,
