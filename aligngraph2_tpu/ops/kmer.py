@@ -142,7 +142,9 @@ def solid_min_abundance(counts: np.ndarray, threshold: float) -> int:
 def count_reads(db, k: int, batch_reads: int = 256,
                 max_len: int | None = None) -> KmerCounter:
     """Count all k-mers of every sequence in a SeqDatabase (forward strand
-    only, like the reference which counts read strings as stored)."""
+    only, like the reference which counts read strings as stored).
+
+    Device path: scatter-add into the dense table (KmerCounter)."""
     counter = KmerCounter(k)
     n = len(db)
     if n == 0:
@@ -163,6 +165,89 @@ def count_reads(db, k: int, batch_reads: int = 256,
             batch, lens = db.padded_batch(ids, cap)
         counter.add_batch(batch, lens)
     return counter
+
+
+class SparseCounts:
+    """Sorted unique k-mer codes with counts + the dense-table size."""
+
+    def __init__(self, codes: np.ndarray, counts: np.ndarray, k: int):
+        self.codes = codes
+        self.counts_arr = counts
+        self.k = k
+        self.table_size = 1 << (2 * k)
+
+    def solid_codes(self, threshold: float = 0.2) -> np.ndarray:
+        min_ab = solid_min_abundance_sparse(self.counts_arr,
+                                            self.table_size, threshold)
+        if min_ab == 0:
+            # every table entry (incl. absent k-mers) is "solid" — the
+            # reference writes the full 4^k set in this regime
+            return np.arange(self.table_size, dtype=np.int64)
+        return self.codes[self.counts_arr >= min_ab]
+
+
+def count_reads_sorted(db, k: int,
+                       chunk_bases: int = 256_000_000) -> SparseCounts:
+    """Sort-based host counter — the scalable path.
+
+    The dense device scatter-add degrades badly at k=14 (a 268M-entry
+    table makes each scatter serialize); sorting the code stream and
+    segment-counting is O(n log n) with perfect locality and needs no
+    device round-trips.  Chunks are merged by concatenating (code, count)
+    pairs and re-reducing."""
+    acc_codes = np.zeros(0, np.int64)
+    acc_counts = np.zeros(0, np.int64)
+
+    def reduce_chunk(codes):
+        codes = np.sort(codes, kind="stable")
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return uniq, cnt
+
+    buf = []
+    buf_bases = 0
+    for i in range(len(db)):
+        c = db.get_codes(i)
+        if len(c) >= k:
+            buf.append(kmer_codes_np(c, k))
+            buf_bases += len(c)
+        if buf_bases >= chunk_bases:
+            u, n = reduce_chunk(np.concatenate(buf))
+            acc_codes, acc_counts = _merge_counts(acc_codes, acc_counts,
+                                                  u, n)
+            buf, buf_bases = [], 0
+    if buf:
+        u, n = reduce_chunk(np.concatenate(buf))
+        acc_codes, acc_counts = _merge_counts(acc_codes, acc_counts, u, n)
+    return SparseCounts(acc_codes, acc_counts, k)
+
+
+def _merge_counts(c1, n1, c2, n2):
+    if len(c1) == 0:
+        return c2, n2
+    codes = np.concatenate([c1, c2])
+    counts = np.concatenate([n1, n2])
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    counts = counts[order]
+    boundary = np.concatenate([[True], codes[1:] != codes[:-1]])
+    seg = np.cumsum(boundary) - 1
+    out_counts = np.bincount(seg, weights=counts).astype(np.int64)
+    return codes[boundary], out_counts
+
+
+def solid_min_abundance_sparse(counts: np.ndarray, table_size: int,
+                               threshold: float) -> int:
+    """The reference cutoff rule over sparse counts: absent table entries
+    are abundance-0 entries."""
+    values, freq = np.unique(counts, return_counts=True)
+    zero_entries = table_size - len(counts)
+    if zero_entries > 0:
+        values = np.concatenate([[0], values])
+        freq = np.concatenate([[zero_entries], freq])
+    cum = np.cumsum(freq)
+    ok = (1.0 - cum / table_size) <= threshold
+    first = int(np.argmax(ok))
+    return int(values[first])
 
 
 # --- solid-kmer set file (binary interchange, format-compatible with the

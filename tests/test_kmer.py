@@ -106,3 +106,21 @@ def test_counter_matches_host_count(rng):
         for c in kmer_codes_np(encode_seq(s), k):
             want[c] += 1
     np.testing.assert_array_equal(got, want)
+
+
+def test_sorted_counter_matches_dense(rng):
+    from tests.synth import random_genome
+    from aligngraph2_tpu.ops.kmer import count_reads_sorted
+    k = 5
+    seqs = [(str(i), random_genome(rng, int(rng.integers(40, 300))))
+            for i in range(25)]
+    db = SeqDatabase(seqs)
+    dense = count_reads(db, k)
+    sparse = count_reads_sorted(db, k, chunk_bases=1000)  # force merges
+    dc = dense.counts()
+    want_codes = np.flatnonzero(dc)
+    np.testing.assert_array_equal(sparse.codes, want_codes)
+    np.testing.assert_array_equal(sparse.counts_arr, dc[want_codes])
+    for thr in (0.01, 0.05, 0.2, 0.9):
+        np.testing.assert_array_equal(sparse.solid_codes(thr),
+                                      dense.solid_codes(thr))
