@@ -28,7 +28,13 @@ from .records import Alignment, AlignmentSet
 
 
 def _bucket(n: int, lo: int = 512) -> int:
-    b = lo
+    """Length bucket for batch shapes.  Coarse on purpose: every distinct
+    bucket costs a kernel compile (expensive through the remote-compile
+    relay), so trade some padding waste for very few shapes."""
+    for b in (512, 2048, 8192, 32768):
+        if n <= b:
+            return b
+    b = 32768
     while b < n:
         b <<= 1
     return b

@@ -49,11 +49,28 @@ class PipelineResult:
     stats: Dict[str, object] = field(default_factory=dict)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: kernel compiles (expensive through
+    the remote-compile relay) are paid once per shape, not per run."""
+    import jax
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/jax_agv"))
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+    except Exception:
+        pass
+
+
 def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
                  out_dir: str, cfg: PipelineConfig | None = None,
                  log=print) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     cfg.validate()
+    _enable_compile_cache()
     t0 = time.time()
     stats: Dict[str, object] = {}
 

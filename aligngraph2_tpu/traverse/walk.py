@@ -64,38 +64,82 @@ class TravelState:
         g = self.graph
         return int(g.pos_ctg[pos_idx]), int(g.pos_ref[pos_idx])
 
+    def make_level(self) -> "_Level":
+        """Epoch-stamped visited set over position entries (O(1) vector
+        membership, no per-call allocation)."""
+        if not hasattr(self, "_stamp_pool"):
+            self._stamp_pool = []
+        if self._stamp_pool:
+            return self._stamp_pool.pop()
+        return _Level(np.zeros(len(self.graph.pos_node), np.int64))
 
-def _edge_similar_ctg(st: TravelState, p1, p2, dist) -> bool:
-    s1, _ = is_edge_similar(np.uint64(p1[0]), np.uint64(p1[1]),
-                            np.uint64(p2[0]), np.uint64(p2[1]),
-                            dist, st.deviation, st.error_rate)
-    return bool(s1)
+    def release_level(self, lvl: "_Level") -> None:
+        self._stamp_pool.append(lvl)
+
+
+class _Level:
+    """One filter level of the traversal (walk / travel / global): a
+    visited set (epoch-stamped array over position entries) plus a
+    visited-ctg-position range table."""
+
+    __slots__ = ("stamp", "epoch", "table")
+
+    def __init__(self, stamp: np.ndarray):
+        self.stamp = stamp
+        self.epoch = 0
+        self.table = None
+
+    def new_epoch(self):
+        self.epoch += 1
+        self.table = _PosTable()
+        return self
+
+    def add(self, pos_idx) -> None:
+        self.stamp[pos_idx] = self.epoch
+
+    def member(self, cand: np.ndarray) -> np.ndarray:
+        return self.stamp[cand] == self.epoch
+
+
+def _edge_sim_vec(st: TravelState, p1c, p1r, cand_idx, cand_step):
+    """Contig-axis edge similarity of parent -> each candidate."""
+    g = st.graph
+    s1, _ = is_edge_similar(np.uint64(p1c), np.uint64(p1r),
+                            g.pos_ctg[cand_idx], g.pos_ref[cand_idx],
+                            cand_step, st.deviation, st.error_rate)
+    return s1
 
 
 def classify_successors(st: TravelState, node: int, pos_idx: int,
                         ctg_range, can_leap: bool, leap_min: float,
-                        filt) -> List[Tuple[int, int, int]]:
+                        levels, rev_range) -> List[Tuple[int, int, int]]:
     """PAlgorithm::classifySuccessors: grade all successors, apply the
-    composite filter, keep only the best non-empty grade class.  Returns
+    composite (global/travel/walk) filter, keep only the best non-empty
+    grade class.  Fully vectorized.  Returns
     [(child_node, child_pos_idx, step)]."""
     g = st.graph
     cand_idx, cand_step = g.successors(node, pos_idx, st.deviation,
                                        st.error_rate)
     if len(cand_idx) == 0:
         return []
-    child_nodes = np.searchsorted(g.pos_start, cand_idx, side="right") - 1
     p1c, p1r = st.pos(pos_idx)
-    keep = np.array([filt((node, pos_idx), (int(n), int(i), int(s)))
-                     for n, i, s in zip(child_nodes, cand_idx, cand_step)],
-                    dtype=bool)
-    cand_idx, cand_step, child_nodes = (cand_idx[keep], cand_step[keep],
-                                        child_nodes[keep])
-    if len(cand_idx) == 0:
+    pc = g.pos_ctg[cand_idx].astype(np.int64)
+    spc0 = pc == 0
+    edge_sim = _edge_sim_vec(st, p1c, p1r, cand_idx, cand_step)
+    keep = np.ones(len(cand_idx), bool)
+    for li, lvl in enumerate(levels):
+        in_table = (lvl.table.lo <= pc) & (pc <= lvl.table.hi)
+        keep &= ~lvl.member(cand_idx)
+        keep &= spc0 | edge_sim | ~in_table
+        if li == 0 and rev_range is not None:
+            in_rev = (pc >= rev_range[0]) & (pc < rev_range[1])
+            keep &= spc0 | ~in_rev
+    if not keep.any():
         return []
+    cand_idx, cand_step, pc = cand_idx[keep], cand_step[keep], pc[keep]
     grades = check_position(np.uint64(p1c), np.uint64(p1r),
                             g.pos_ctg[cand_idx], g.pos_ref[cand_idx],
                             cand_step, st.deviation, st.error_rate)
-    pc = g.pos_ctg[cand_idx].astype(np.int64)
     leap = (pc != 0) & ((pc < ctg_range[0]) | (pc >= ctg_range[1]))
     # leap landing gate: within the first leap_min fraction of the target
     drop = np.zeros(len(cand_idx), bool)
@@ -106,24 +150,29 @@ def classify_successors(st: TravelState, node: int, pos_idx: int,
         if not can_leap:
             drop_leap = np.ones(len(lidx), bool)
         drop[np.flatnonzero(leap)] = drop_leap
-    buckets = {"amazing": [], "excellent": [], "great": [], "skip": []}
-    for i in range(len(cand_idx)):
-        if drop[i]:
-            continue
-        gde = grades[i]
-        if gde == Grade.Amazing or leap[i]:
-            buckets["amazing"].append(i)
-        elif gde == Grade.Excellent:
-            buckets["excellent"].append(i)
-        elif gde == Grade.Good:
-            buckets["great"].append(i)
-        elif can_leap and gde == Grade.Skip:
-            buckets["skip"].append(i)
-    for name in ("amazing", "excellent", "great", "skip"):
-        if buckets[name]:
-            return [(int(child_nodes[i]), int(cand_idx[i]),
-                     int(cand_step[i])) for i in buckets[name]]
-    return []
+    ok = ~drop
+    amazing = ok & ((grades == Grade.Amazing) | leap)
+    if amazing.any():
+        sel = amazing
+    else:
+        excellent = ok & (grades == Grade.Excellent) & ~leap
+        if excellent.any():
+            sel = excellent
+        else:
+            great = ok & (grades == Grade.Good) & ~leap
+            if great.any():
+                sel = great
+            elif can_leap:
+                sel = ok & (grades == Grade.Skip) & ~leap
+            else:
+                sel = np.zeros(len(cand_idx), bool)
+    if not sel.any():
+        return []
+    idxs = np.flatnonzero(sel)
+    child_nodes = np.searchsorted(g.pos_start, cand_idx[idxs],
+                                  side="right") - 1
+    return [(int(n), int(i), int(s)) for n, i, s in
+            zip(child_nodes, cand_idx[idxs], cand_step[idxs])]
 
 
 class _PosTable:
@@ -146,84 +195,62 @@ class _PosTable:
 
 def walk_straight(st: TravelState, start: Tuple[int, int, int], path: Travel,
                   ctg_range, has_size: int, split_size: int,
-                  split_min: float, parent_filter, limitation: int = 0
-                  ) -> int:
+                  split_min: float, levels_parent, rev_range,
+                  limitation: int = 0) -> int:
     """PAlgorithm::walkStraight: follow unique successors until
     End/Branch/Leap."""
-    unique: Set[Tuple[int, int]] = set()
-    table = _PosTable()
-    node, pos_idx, dist = start
-    now_size = dist
-    path.append(start)
-    pc, _ = st.pos(pos_idx)
-    if pc != 0 and (pc < ctg_range[0] or pc >= ctg_range[1]):
-        return LEAP
-    table.insert(pc)
-    unique.add((node, pos_idx))
-
-    def filt(parent, succ):
-        sn, si, ss = succ
-        if not parent_filter(parent, succ):
-            return False
-        if (sn, si) in unique:
-            return False
-        spc, _ = st.pos(si)
-        if spc == 0:
-            return True
-        if _edge_similar_ctg(st, st.pos(parent[1]), st.pos(si), ss):
-            return True
-        return not table.contains(spc)
-
-    while True:
-        succ = classify_successors(st, path[-1][0], path[-1][1], ctg_range,
-                                   (has_size + now_size) >= split_size,
-                                   split_min, filt)
-        if not succ:
-            return END
-        if len(succ) > 1:
-            return BRANCH
-        sn, si, ss = succ[0]
-        unique.add((sn, si))
-        spc, _ = st.pos(si)
-        table.insert(spc)
-        path.append((sn, si, ss))
-        now_size += ss
-        if spc != 0 and (spc < ctg_range[0] or spc >= ctg_range[1]):
+    wl = st.make_level().new_epoch()
+    levels = list(levels_parent) + [wl]
+    try:
+        node, pos_idx, dist = start
+        now_size = dist
+        path.append(start)
+        pc, _ = st.pos(pos_idx)
+        if pc != 0 and (pc < ctg_range[0] or pc >= ctg_range[1]):
             return LEAP
-        if limitation > 0 and len(path) >= limitation:
-            return LIMIT
+        wl.table.insert(pc)
+        wl.add(pos_idx)
+
+        while True:
+            succ = classify_successors(
+                st, path[-1][0], path[-1][1], ctg_range,
+                (has_size + now_size) >= split_size, split_min, levels,
+                rev_range)
+            if not succ:
+                return END
+            if len(succ) > 1:
+                return BRANCH
+            sn, si, ss = succ[0]
+            wl.add(si)
+            spc, _ = st.pos(si)
+            wl.table.insert(spc)
+            path.append((sn, si, ss))
+            now_size += ss
+            if spc != 0 and (spc < ctg_range[0] or spc >= ctg_range[1]):
+                return LEAP
+            if limitation > 0 and len(path) >= limitation:
+                return LIMIT
+    finally:
+        st.release_level(wl)
 
 
 def graph_travel(st: TravelState, start_node: int, start_pos: int,
                  ctg_range, has_size: int, split_size: int,
-                 split_min: float, parent_filter) -> Travel:
+                 split_min: float, global_level, rev_range) -> Travel:
     """PAlgorithm::graphTravel: branch-and-walk — walk straight, then at a
     branch walk all successor paths and choose leap > max-abundance branch
     > longest tip."""
     g = st.graph
-    travel_unique: Set[Tuple[int, int]] = set()
-    table = _PosTable()
+    tl = st.make_level().new_epoch()
+    levels = [global_level, tl]
     seq: Travel = []
     now_size = g.k
     chosen = (start_node, start_pos, g.k)
-    table.insert(st.pos(start_pos)[0])
-
-    def filt(parent, succ):
-        sn, si, ss = succ
-        if not parent_filter(parent, succ):
-            return False
-        if (sn, si) in travel_unique:
-            return False
-        spc, _ = st.pos(si)
-        if spc == 0:
-            return True
-        if _edge_similar_ctg(st, st.pos(parent[1]), st.pos(si), ss):
-            return True
-        return not table.contains(spc)
+    tl.table.insert(st.pos(start_pos)[0])
 
     path: Travel = []
     walk_straight(st, chosen, path, ctg_range, has_size + now_size,
-                  split_size, split_min, filt)
+                  split_size, split_min, levels, rev_range)
     paths = [path]
     chosen_idx = 0
 
@@ -231,23 +258,23 @@ def graph_travel(st: TravelState, start_node: int, start_pos: int,
         chosen_path = paths[chosen_idx]
         for p in chosen_path:
             seq.append(p)
-            travel_unique.add((p[0], p[1]))
+            tl.add(p[1])
             now_size += p[2]
-            table.insert(st.pos(p[1])[0])
+            tl.table.insert(st.pos(p[1])[0])
         last_node, last_pos, _ = seq[-1]
         lpc, _ = st.pos(last_pos)
         if lpc != 0 and (lpc < ctg_range[0] or lpc >= ctg_range[1]):
             break
         succ = classify_successors(st, last_node, last_pos, ctg_range,
                                    (has_size + now_size) >= split_size,
-                                   split_min, filt)
+                                   split_min, levels, rev_range)
         leap_l, branch_l, tips_l = [], [], []
         paths = []
         for i, s in enumerate(succ):
             path = []
             status = walk_straight(st, s, path, ctg_range,
                                    has_size + now_size, split_size,
-                                   split_min, filt)
+                                   split_min, levels, rev_range)
             paths.append(path)
             if status == LEAP:
                 leap_l.append((i, len(path)))
@@ -273,6 +300,7 @@ def graph_travel(st: TravelState, start_node: int, start_pos: int,
                 if tips_l[i][1] > tips_l[best][1]:
                     best = i
             chosen_idx = tips_l[best][0]
+    st.release_level(tl)
     return seq
 
 
@@ -341,8 +369,7 @@ def travel_sequence(st: TravelState, ctg_idx: int, forward: bool) -> Travel:
     """PAlgorithm::travelSequence — one contig+orientation's full travel."""
     g = st.graph
     top_k = st.top_k
-    global_unique: Set[Tuple[int, int]] = set()
-    global_table = _PosTable()
+    gl = st.make_level().new_epoch()
 
     chosen_signed = (ctg_idx + 1) if forward else -(ctg_idx + 1)
     ctg_codes = st.ctgs.get_codes(ctg_idx, forward)
@@ -355,19 +382,7 @@ def travel_sequence(st: TravelState, ctg_idx: int, forward: bool) -> Travel:
     ctg_right = int(st.ctg_mapper.dual_to_single(chosen_signed, ctg_len))
     rev_left = int(st.ctg_mapper.dual_to_single(-chosen_signed, 0))
     rev_right = int(st.ctg_mapper.dual_to_single(-chosen_signed, ctg_len))
-
-    def global_filter(parent, succ):
-        sn, si, ss = succ
-        if (sn, si) in global_unique:
-            return False
-        spc, _ = st.pos(si)
-        if spc != 0:
-            if not _edge_similar_ctg(st, st.pos(parent[1]), st.pos(si), ss) \
-                    and global_table.contains(spc):
-                return False
-            if rev_left <= spc < rev_right:
-                return False
-        return True
+    rev_range = (rev_left, rev_right)
 
     pa_nodes = _search_pa_node(
         st, anodes, True,
@@ -383,7 +398,7 @@ def travel_sequence(st: TravelState, ctg_idx: int, forward: bool) -> Travel:
 
     while pa_nodes:
         seqs = [graph_travel(st, nd, pi, (ctg_left, ctg_right), var_len,
-                             split_len, split_min, global_filter)
+                             split_len, split_min, gl, rev_range)
                 for nd, pi in pa_nodes]
         longest: Travel = []
         max_len = 0
@@ -414,8 +429,8 @@ def travel_sequence(st: TravelState, ctg_idx: int, forward: bool) -> Travel:
             ref_que.append(choose_ref)
             del ref_que[:-4]
         for p in longest:
-            global_unique.add((p[0], p[1]))
-            global_table.insert(st.pos(p[1])[0])
+            gl.add(p[1])
+            gl.table.insert(st.pos(p[1])[0])
         ctg_repeat = (len(ctg_que) >= 4
                       and max(ctg_que) - min(ctg_que) <= 2 * st.deviation)
         ref_repeat = (len(ref_que) >= 4
@@ -443,11 +458,13 @@ def travel_sequence(st: TravelState, ctg_idx: int, forward: bool) -> Travel:
             lambda qp, ci, cp, ri, rp: ci == chosen_signed
             and abs(cp - last_ctg_pos) <= st.deviation,
             window=window)
-        pa_nodes = [p for p in pa_nodes if p not in global_unique]
+        pa_nodes = [p for p in pa_nodes
+                    if gl.stamp[p[1]] != gl.epoch]
         pa_nodes.sort(key=lambda p: edit_distance(
             last_kmer, code_to_str(int(g.node_codes[p[0]]), g.k)))
         pa_nodes = pa_nodes[:top_k]
 
+    st.release_level(gl)
     if not final_leap:
         filter_sequence(travel, st)
     if final_leap and travel:
