@@ -10,6 +10,7 @@ consensus strings.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import List, Tuple
@@ -97,8 +98,20 @@ def weight_alignments(part: List[WindowAln], alpha: int) -> List[int]:
 
 
 def consensus_backbone(backbone: str, alns: AlignmentSet,
-                       cfg: ConsensusConfig, threads: int = 4) -> str:
-    """Full pa_cns flow for one backbone."""
+                       cfg: ConsensusConfig, threads: int = 4,
+                       use_native: bool = True) -> str:
+    """Full pa_cns flow for one backbone.
+
+    Runs the native C++ core (native/poacns.cpp) when available — one
+    call per backbone, std::thread window parallelism — and falls back
+    to the pure-Python path below (the specification; bit-identical)."""
+    if use_native and os.environ.get("ALIGNGRAPH2_TPU_NO_NATIVE") != "1":
+        from .native import consensus_backbone_native
+        res = consensus_backbone_native(
+            backbone, list(alns), cfg.window, cfg.top_k, cfg.alpha,
+            cfg.min_weight, threads)
+        if res is not None:
+            return res
     part_num = (len(backbone) + cfg.window - 1) // cfg.window
     parts = slice_into_windows(alns, len(backbone), cfg.window)
 
