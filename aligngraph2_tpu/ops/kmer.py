@@ -199,9 +199,15 @@ def count_reads_sorted(db, k: int,
     acc_counts = np.zeros(0, np.int64)
 
     def reduce_chunk(codes):
-        codes = np.sort(codes, kind="stable")
-        uniq, cnt = np.unique(codes, return_counts=True)
-        return uniq, cnt
+        if len(codes) == 0:
+            return codes, np.zeros(0, np.int64)
+        codes.sort()  # in-place; np.unique would sort a second copy
+        boundary = np.empty(len(codes), np.bool_)
+        boundary[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=boundary[1:])
+        idx = np.flatnonzero(boundary)
+        cnt = np.diff(np.append(idx, len(codes)))
+        return codes[idx], cnt
 
     buf = []
     buf_bases = 0

@@ -24,6 +24,7 @@ Faithful reference details worth flagging:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Set, Tuple
 
@@ -365,8 +366,34 @@ def filter_sequence(seq: Travel, st: TravelState) -> None:
             return
 
 
-def travel_sequence(st: TravelState, ctg_idx: int, forward: bool) -> Travel:
-    """PAlgorithm::travelSequence — one contig+orientation's full travel."""
+def travel_sequence(st: TravelState, ctg_idx: int, forward: bool,
+                    use_native: bool = True) -> Travel:
+    """PAlgorithm::travelSequence — one contig+orientation's full travel.
+
+    Dispatches to the native core (native/traverse.cpp, bit-identical)
+    when available; ``travel_sequence_py`` below is the specification
+    and fallback."""
+    if use_native and os.environ.get("ALIGNGRAPH2_TPU_NO_NATIVE") != "1":
+        nt = getattr(st, "_native", None)
+        if nt is None and not getattr(st, "_native_failed", False):
+            try:
+                from .native import NativeTraverser
+                nt = NativeTraverser(st)
+                st._native = nt
+            except (RuntimeError, OSError):
+                st._native_failed = True
+        if nt is not None:
+            g = st.graph
+            ctg_codes = st.ctgs.get_codes(ctg_idx, forward)
+            a_nodes, a_qpos = g.find_all(kmer_codes_np(ctg_codes, g.k))
+            return nt.travel(ctg_idx, forward, a_nodes, a_qpos,
+                             st.ctgs.size(ctg_idx))
+    return travel_sequence_py(st, ctg_idx, forward)
+
+
+def travel_sequence_py(st: TravelState, ctg_idx: int, forward: bool
+                       ) -> Travel:
+    """Pure-Python travelSequence (the specification)."""
     g = st.graph
     top_k = st.top_k
     gl = st.make_level().new_epoch()
