@@ -1,0 +1,98 @@
+"""ctypes bridge to the native seed-hit enumerator (native/seedhits.cpp).
+
+Falls back to None when the toolchain is unavailable; the numpy path in
+seedextend.find_candidates_batch is the specification and produces
+identical hits (tests/test_native_seed.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "seedhits.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libseedhits.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_pi64 = ctypes.POINTER(_i64)
+_pi32 = ctypes.POINTER(ctypes.c_int32)
+_pu16 = ctypes.POINTER(ctypes.c_uint16)
+_pu8 = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    try:
+        res = subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            capture_output=True, timeout=300)
+        return res.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.ags_seed.restype = _i64
+        lib.ags_seed.argtypes = [
+            _pu8, _pi64, _i64, _i64,
+            _pu16, _pi32, _pi64,
+            _i64, _pi32, _pi32, _pi64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def seed_hits_native(index, bases: np.ndarray, read_start: np.ndarray
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray]]:
+    """(sid, qpos, tpos) hit arrays for a read chunk, or None.
+
+    Requires the index's dense tables (k <= 13)."""
+    if index.dense_cnt is None or index.dense_off is None:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    bases = np.ascontiguousarray(bases, np.uint8)
+    read_start = np.ascontiguousarray(read_start, np.int64)
+    cnt_t = np.ascontiguousarray(index.dense_cnt, np.uint16)
+    off_t = np.ascontiguousarray(index.dense_off, np.int32)
+    pos_t = np.ascontiguousarray(index.sorted_pos, np.int64)
+    cap = max(int(len(bases) // 2), 1024)
+    while True:
+        sid = np.empty(cap, np.int32)
+        qpos = np.empty(cap, np.int32)
+        tpos = np.empty(cap, np.int64)
+        n = lib.ags_seed(
+            bases.ctypes.data_as(_pu8), read_start.ctypes.data_as(_pi64),
+            len(read_start) - 1, index.k,
+            cnt_t.ctypes.data_as(_pu16), off_t.ctypes.data_as(_pi32),
+            pos_t.ctypes.data_as(_pi64),
+            cap, sid.ctypes.data_as(_pi32), qpos.ctypes.data_as(_pi32),
+            tpos.ctypes.data_as(_pi64))
+        if n >= 0:
+            return sid[:n], qpos[:n], tpos[:n]
+        cap = int(-n) + 1024

@@ -61,12 +61,47 @@ class SeedIndex:
         order = np.argsort(codes, kind="stable")
         self.sorted_codes = codes[order]
         self.sorted_pos = pos[order]
+        # dense tables: O(1) lookup per query k-mer instead of a
+        # cache-hostile binary search over the whole index (the
+        # reference's kmer tables are dense too, kmer_counter.cpp:21-40).
+        # dense_cnt (uint16) answers "how many hits" with one narrow
+        # gather — max_occ masking is baked in at build time; dense_off
+        # (int32) is only gathered for the k-mers that actually hit.
+        self.dense_off = None
+        self.dense_cnt = None
+        if k <= 13 and len(self.sorted_codes):
+            size = 1 << (2 * k)
+            off = np.zeros(size + 1, np.int32)
+            boundary = np.empty(len(self.sorted_codes), np.bool_)
+            boundary[0] = True
+            np.not_equal(self.sorted_codes[1:], self.sorted_codes[:-1],
+                         out=boundary[1:])
+            firsts = np.flatnonzero(boundary)
+            uniq = self.sorted_codes[firsts]
+            cnt = np.diff(np.append(firsts, len(self.sorted_codes)))
+            off[uniq + 1] = cnt
+            np.cumsum(off, out=off)
+            self.dense_off = off
+            dc = np.zeros(size, np.uint16)
+            dc[uniq] = np.minimum(np.where(cnt > self.max_occ, 0, cnt),
+                                  0xFFFF)
+            self.dense_cnt = dc
+
+    def ranges(self, q_codes: np.ndarray):
+        """(lo, hi) index ranges for each query k-mer code (max_occ
+        masking NOT applied here — callers mask on hi-lo)."""
+        if self.dense_off is not None:
+            lo = self.dense_off[q_codes].astype(np.int64)
+            hi = self.dense_off[q_codes + 1].astype(np.int64)
+            return lo, hi
+        lo = np.searchsorted(self.sorted_codes, q_codes, side="left")
+        hi = np.searchsorted(self.sorted_codes, q_codes, side="right")
+        return lo, hi
 
     def lookup(self, q_codes: np.ndarray):
         """All (query_pos, global_target_pos) hits for the query's k-mers,
         with high-frequency k-mers masked."""
-        lo = np.searchsorted(self.sorted_codes, q_codes, side="left")
-        hi = np.searchsorted(self.sorted_codes, q_codes, side="right")
+        lo, hi = self.ranges(q_codes)
         n = hi - lo
         n = np.where(n > self.max_occ, 0, n)
         total = int(n.sum())
@@ -137,37 +172,70 @@ def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
             pos += 1
         if not chunk:
             continue
-        codes_list = []
         tags = []     # (rid, strand) per kmer stream
         for rid in chunk:
-            cf = read_db.get_codes(rid)
-            cr = revcomp_codes(cf)
-            for strand, cc in ((1, cf), (0, cr)):
-                kc = kmer_codes_np(cc, k)
-                codes_list.append(kc)
-                tags.append((rid, strand, len(kc)))
-        q_codes = np.concatenate(codes_list)
-        q_pos = np.concatenate([np.arange(n, dtype=np.int64)
-                                for _, _, n in tags])
-        stream_id = np.repeat(np.arange(len(tags), dtype=np.int64),
-                              [n for _, _, n in tags])
+            n = read_db.size(rid)
+            tags.append((rid, 1, n - k + 1))
+            tags.append((rid, 0, n - k + 1))
 
-        lo = np.searchsorted(index.sorted_codes, q_codes, side="left")
-        hi = np.searchsorted(index.sorted_codes, q_codes, side="right")
-        n_h = hi - lo
-        n_h = np.where(n_h > index.max_occ, 0, n_h)
-        total_h = int(n_h.sum())
-        if total_h == 0:
-            continue
-        rep = np.repeat(np.arange(len(q_codes), dtype=np.int64), n_h)
-        within = (np.arange(total_h, dtype=np.int64)
-                  - np.repeat(np.cumsum(n_h) - n_h, n_h))
-        tpos_g = index.sorted_pos[np.repeat(lo, n_h) + within]
+        # hit enumeration: native single-pass path when available
+        # (rolling codes + dense-table lookup + expansion in C++), else
+        # the numpy specification below — identical hit streams.
+        native_hits = None
+        if index.dense_cnt is not None:
+            from .native import seed_hits_native
+            base_list = [read_db.get_codes(rid) for rid in chunk]
+            read_start = np.zeros(len(chunk) + 1, np.int64)
+            np.cumsum([len(b) for b in base_list], out=read_start[1:])
+            native_hits = seed_hits_native(
+                index, np.concatenate(base_list), read_start)
+        if native_hits is not None:
+            sid32, qpos32, tpos_g = native_hits
+            if len(sid32) == 0:
+                continue
+            sid = sid32.astype(np.int64)
+            q_pos_rep = qpos32.astype(np.int64)
+        else:
+            codes_list = []
+            for rid in chunk:
+                cf = read_db.get_codes(rid)
+                cr = revcomp_codes(cf)
+                codes_list.append(kmer_codes_np(cf, k))
+                codes_list.append(kmer_codes_np(cr, k))
+            q_codes = np.concatenate(codes_list)
+            stream_start = np.zeros(len(tags) + 1, np.int64)
+            np.cumsum([n for _, _, n in tags], out=stream_start[1:])
+            # count lookup, then COMPRESS to hitting k-mers before any
+            # expansion — typically <10% of the stream hits
+            if index.dense_cnt is not None:
+                hit = np.flatnonzero(index.dense_cnt[q_codes])
+                if len(hit) == 0:
+                    continue
+                q_hit = q_codes[hit]
+                n_hit = index.dense_cnt[q_hit].astype(np.int64)
+                lo_hit = index.dense_off[q_hit].astype(np.int64)
+            else:
+                lo, hi = index.ranges(q_codes)
+                n_h = hi - lo
+                np.putmask(n_h, n_h > index.max_occ, 0)
+                hit = np.flatnonzero(n_h)
+                if len(hit) == 0:
+                    continue
+                n_hit = n_h[hit]
+                lo_hit = lo[hit]
+            total_h = int(n_hit.sum())
+            rep = np.repeat(hit, n_hit)       # query-kmer index per hit
+            csum = np.cumsum(n_hit)
+            within = np.arange(total_h, dtype=np.int64) - np.repeat(
+                csum - n_hit, n_hit)
+            tpos_g = index.sorted_pos[np.repeat(lo_hit, n_hit) + within]
+            # recover (stream, in-stream qpos) arithmetically from rep
+            sid = np.searchsorted(stream_start, rep, side="right") - 1
+            q_pos_rep = rep - stream_start[sid]
         tid = np.searchsorted(index.db.offsets, tpos_g, side="right") - 1
         t_local = tpos_g - index.db.offsets[tid]
-        diag = t_local - q_pos[rep]
+        diag = t_local - q_pos_rep
         dbin = np.floor_divide(diag, bin_w)
-        sid = stream_id[rep]
         # pack (stream, tid, dbin) into one int64 key; dbin in low bits so
         # key+1 is the adjacent diagonal bin (pair smoothing)
         B0 = np.int64(1) << 24

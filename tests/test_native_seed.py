@@ -1,0 +1,70 @@
+"""Native seed-hit enumerator (native/seedhits.cpp) must produce the
+exact candidate map of the numpy specification path in
+seedextend.find_candidates_batch."""
+
+import numpy as np
+import pytest
+
+from aligngraph2_tpu.config import AlignerConfig
+from aligngraph2_tpu.io.seqdb import SeqDatabase
+from aligngraph2_tpu.ops.native import get_lib, seed_hits_native
+from aligngraph2_tpu.ops.seedextend import SeedIndex, find_candidates_batch
+from tests.synth import make_dataset
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native toolchain unavailable")
+
+
+def _cand_map_fingerprint(cm):
+    return {r: [(c.tid, c.forward, c.diag, c.hits, c.score) for c in v]
+            for r, v in cm.items()}
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_native_seeding_matches_numpy(seed, monkeypatch):
+    ds = make_dataset(seed=seed, genome_len=8000, coverage=10,
+                      mean_read=900, read_err=0.03, n_contigs=2)
+    reads = SeqDatabase(ds["reads"])
+    refs = SeqDatabase(ds["similar"])
+    cfg = AlignerConfig(seed_k=11, band_width=128, min_block_hits=3)
+    idx = SeedIndex(refs, cfg.seed_k, stride=cfg.seed_stride)
+    assert idx.dense_cnt is not None
+    kw = dict(bin_w=64, max_candidates=cfg.max_candidates,
+              min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta)
+    ids = list(range(len(reads)))
+    native = find_candidates_batch(idx, reads, ids, **kw)
+
+    import aligngraph2_tpu.ops.seedextend as se
+    monkeypatch.setattr("aligngraph2_tpu.ops.native.seed_hits_native",
+                        lambda *a, **k: None)
+    numpy_path = find_candidates_batch(idx, reads, ids, **kw)
+    assert _cand_map_fingerprint(native) == _cand_map_fingerprint(numpy_path)
+
+
+def test_native_hits_raw():
+    ds = make_dataset(seed=3, genome_len=4000, coverage=6, mean_read=700)
+    reads = SeqDatabase(ds["reads"])
+    refs = SeqDatabase(ds["similar"])
+    idx = SeedIndex(refs, 11)
+    bases = np.concatenate([reads.get_codes(i) for i in range(3)])
+    starts = np.zeros(4, np.int64)
+    np.cumsum([len(reads.get_codes(i)) for i in range(3)], out=starts[1:])
+    got = seed_hits_native(idx, bases, starts)
+    assert got is not None
+    sid, qpos, tpos = got
+    assert len(sid) == len(qpos) == len(tpos) > 0
+    # every reported hit must be a true k-mer match
+    from aligngraph2_tpu.io.seqdb import revcomp_codes
+    from aligngraph2_tpu.ops.kmer import kmer_codes_np
+    k = idx.k
+    for i in range(0, len(sid), max(len(sid) // 50, 1)):
+        rid, strand = int(sid[i]) // 2, int(sid[i]) % 2
+        codes = reads.get_codes(rid)
+        if strand == 1:
+            codes = revcomp_codes(codes)
+        qk = kmer_codes_np(codes, k)[int(qpos[i])]
+        ti = np.searchsorted(idx.db.offsets, int(tpos[i]),
+                             side="right") - 1
+        tl = int(tpos[i]) - int(idx.db.offsets[ti])
+        tk = kmer_codes_np(idx.db.get_codes(int(ti)), k)[tl]
+        assert qk == tk
