@@ -23,3 +23,30 @@ Layer map (see SURVEY.md for the reference analysis this was built against):
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_host_allocator() -> None:
+    """Keep large freed blocks in the heap instead of munmapping them.
+
+    The pipeline's host side (numpy SoA tables, alignment batches)
+    allocates and frees many multi-MB arrays; with glibc's default
+    M_MMAP_THRESHOLD each one is a fresh mmap whose first-touch page
+    faults dominate on virtualized/sandboxed hosts (measured ~300us per
+    4K page under this project's target environment — 2s to touch a
+    24 MB array).  Raising the mmap/trim thresholds makes the arena
+    reusable: the fault cost is paid once per high-water mark.  Set
+    ALIGNGRAPH2_TPU_NO_MALLOPT=1 to opt out."""
+    import os
+    if os.environ.get("ALIGNGRAPH2_TPU_NO_MALLOPT") == "1":
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+    except OSError:
+        pass
+
+
+_tune_host_allocator()

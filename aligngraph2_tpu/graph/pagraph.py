@@ -129,6 +129,23 @@ def check_position(p1_ctg, p1_ref, p2_ctg, p2_ref, dist, deviation,
     return out
 
 
+def _append3(buf, n, a, b, c):
+    """Append three equal-length streams to a (3, cap) doubling buffer."""
+    m = len(a)
+    if buf is None:
+        cap = max(4096, 2 * m)
+        buf = np.empty((3, cap), np.int64)
+    elif n + m > buf.shape[1]:
+        cap = max(2 * buf.shape[1], n + m)
+        nbuf = np.empty((3, cap), np.int64)
+        nbuf[:, :n] = buf[:, :n]
+        buf = nbuf
+    buf[0, n:n + m] = a
+    buf[1, n:n + m] = b
+    buf[2, n:n + m] = c
+    return buf, n + m
+
+
 class PAGraph:
     """The graph: node table + position/edge SoA with CSR views."""
 
@@ -136,14 +153,25 @@ class PAGraph:
         self.k = int(k)
         self.node_codes = np.unique(np.asarray(solid_codes, dtype=np.int64))
         self.n_nodes = len(self.node_codes)
+        # dense code -> node-id table (same trick as the seeding index):
+        # one gather instead of a binary search over n_nodes codes
+        self._node_table = None
+        if self.k <= 13 and self.n_nodes:
+            table = np.full(1 << (2 * self.k), -1, np.int32)
+            table[self.node_codes] = np.arange(self.n_nodes, dtype=np.int32)
+            self._node_table = table
         self.reset()
 
     # ---------------- ingest ----------------
 
     def reset(self) -> None:
         """resetAllNodes: drop all positions and edges."""
-        self._pos_chunks = []   # (node, ctg, ref) int64 triples
-        self._edge_chunks = []  # (from, to, step) int64 triples
+        # ingest buffers: amortized-doubling SoA appends (the per-read
+        # chunk lists they replace caused one giant concatenate per pass)
+        self._pos_buf = None    # (3, cap) int64 rows: node, ctg, ref
+        self._pos_n = 0
+        self._edge_buf = None   # (3, cap) int64 rows: from, to, step
+        self._edge_n = 0
         self.pos_node = np.zeros(0, np.int64)
         self.pos_ctg = np.zeros(0, np.uint64)
         self.pos_ref = np.zeros(0, np.uint64)
@@ -157,7 +185,13 @@ class PAGraph:
         self._merged = False
 
     def node_of_codes(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """codes -> (node ids, found mask)."""
+        """codes -> (node ids, found mask).  Ids at unfound slots are
+        arbitrary valid indices — callers only consume found ones."""
+        if self._node_table is not None:
+            idx = self._node_table[codes].astype(np.int64)
+            found = idx >= 0
+            np.maximum(idx, 0, out=idx)
+            return idx, found
         idx = np.searchsorted(self.node_codes, codes)
         idx_c = np.minimum(idx, self.n_nodes - 1) if self.n_nodes else idx
         found = (self.n_nodes > 0) & (self.node_codes[idx_c] == codes) \
@@ -173,13 +207,17 @@ class PAGraph:
         eligible = np.flatnonzero(kmer_found & has_pos[:len(kmer_found)])
         if len(eligible) == 0:
             return eligible
-        sel = []
+        from ..ops.native import stride_sample_native
+        sel = stride_sample_native(eligible, outer_sample)
+        if sel is not None:
+            return sel
+        out = []
         i = 0
         while i < len(eligible):
             p = int(eligible[i])
-            sel.append(p)
+            out.append(p)
             i = int(np.searchsorted(eligible, p + outer_sample))
-        return np.asarray(sel, dtype=np.int64)
+        return np.asarray(out, dtype=np.int64)
 
     def add_positions_and_edges(self, sel_pos: np.ndarray,
                                 kmer_nodes: np.ndarray,
@@ -199,44 +237,77 @@ class PAGraph:
         gather = (np.repeat(base_pos_start[sel_pos], cnt)
                   + np.arange(int(cnt.sum())) - np.repeat(
                       np.cumsum(cnt) - cnt, cnt))
-        self._pos_chunks.append((rep_nodes, dual_ctg[gather],
-                                 dual_ref[gather]))
+        self._pos_buf, self._pos_n = _append3(
+            self._pos_buf, self._pos_n, rep_nodes, dual_ctg[gather],
+            dual_ref[gather])
         if len(sel_pos) > 1:
             steps = np.diff(sel_pos)
-            self._edge_chunks.append((nodes[:-1], nodes[1:], steps))
+            self._edge_buf, self._edge_n = _append3(
+                self._edge_buf, self._edge_n, nodes[:-1], nodes[1:], steps)
+
+    def append_positions(self, nodes, ctg, ref) -> None:
+        """Raw position ingest (tests and custom builders)."""
+        self._pos_buf, self._pos_n = _append3(
+            self._pos_buf, self._pos_n, np.asarray(nodes, np.int64),
+            np.asarray(ctg, np.int64), np.asarray(ref, np.int64))
+
+    def append_edges(self, frm, to, step) -> None:
+        """Raw edge ingest (tests and custom builders)."""
+        self._edge_buf, self._edge_n = _append3(
+            self._edge_buf, self._edge_n, np.asarray(frm, np.int64),
+            np.asarray(to, np.int64), np.asarray(step, np.int64))
 
     # ---------------- merge phases ----------------
 
     def _flush(self) -> None:
-        if self._pos_chunks:
-            n = np.concatenate([c[0] for c in self._pos_chunks])
-            c = np.concatenate([c[1] for c in self._pos_chunks])
-            r = np.concatenate([c[2] for c in self._pos_chunks])
-            self.pos_node = np.concatenate([self.pos_node, n])
+        if self._pos_n:
+            buf, n = self._pos_buf, self._pos_n
+            self.pos_node = np.concatenate([self.pos_node, buf[0, :n]])
             self.pos_ctg = np.concatenate(
-                [self.pos_ctg, c.astype(np.uint64)])
+                [self.pos_ctg, buf[1, :n].astype(np.uint64)])
             self.pos_ref = np.concatenate(
-                [self.pos_ref, r.astype(np.uint64)])
+                [self.pos_ref, buf[2, :n].astype(np.uint64)])
             self.pos_count = np.concatenate(
-                [self.pos_count, np.ones(len(n), np.int64)])
-            self._pos_chunks = []
-        if self._edge_chunks:
-            f = np.concatenate([c[0] for c in self._edge_chunks])
-            t = np.concatenate([c[1] for c in self._edge_chunks])
-            s = np.concatenate([c[2] for c in self._edge_chunks])
-            self.edge_from = np.concatenate([self.edge_from, f])
-            self.edge_to = np.concatenate([self.edge_to, t])
-            self.edge_step = np.concatenate([self.edge_step, s])
-            self._edge_chunks = []
+                [self.pos_count, np.ones(n, np.int64)])
+            self._pos_n = 0
+        if self._edge_n:
+            buf, n = self._edge_buf, self._edge_n
+            self.edge_from = np.concatenate([self.edge_from, buf[0, :n]])
+            self.edge_to = np.concatenate([self.edge_to, buf[1, :n]])
+            self.edge_step = np.concatenate([self.edge_step, buf[2, :n]])
+            self._edge_n = 0
 
     def merge_edges(self) -> int:
         """Exact (from, to, step) dedup; returns removed count
-        (PABruijnGraph::mergeEdge)."""
+        (PABruijnGraph::mergeEdge).
+
+        Fast path: pack (from, to, step) into one int64 key and sort
+        once — same (from, to, step)-ascending result order as
+        np.unique's row sort, which stays the fallback when the fields
+        don't fit 63 bits."""
         self._flush()
         before = len(self.edge_from)
-        key = np.stack([self.edge_from, self.edge_to, self.edge_step])
-        uniq = np.unique(key, axis=1)
-        self.edge_from, self.edge_to, self.edge_step = uniq
+        if before == 0:
+            return 0
+        bn = max(int(self.n_nodes).bit_length(), 1)
+        max_step = int(self.edge_step.max())
+        min_step = int(self.edge_step.min())
+        bs = max(max_step.bit_length(), 1)
+        if min_step >= 0 and 2 * bn + bs <= 63:
+            key = ((self.edge_from << (bn + bs))
+                   | (self.edge_to << bs) | self.edge_step)
+            key.sort()
+            boundary = np.empty(before, np.bool_)
+            boundary[0] = True
+            np.not_equal(key[1:], key[:-1], out=boundary[1:])
+            uniq = key[boundary]
+            self.edge_from = uniq >> (bn + bs)
+            self.edge_to = (uniq >> bs) & ((np.int64(1) << bn) - 1)
+            self.edge_step = uniq & ((np.int64(1) << bs) - 1)
+        else:
+            key = np.stack([self.edge_from, self.edge_to, self.edge_step])
+            uniq = np.unique(key, axis=1)
+            self.edge_from, self.edge_to, self.edge_step = uniq
         return before - len(self.edge_from)
 
     def merge_positions(self, epsilon: int) -> int:

@@ -75,4 +75,23 @@ int64_t ags_seed(const uint8_t* bases, const int64_t* read_start,
     return n_out;
 }
 
+// Greedy stride sampling (PABruijnGraph.tcc sampleSequence /
+// graph/pagraph.py sample_sequence): walk the sorted eligible positions
+// left to right taking gaps of at least `stride`.  Returns the number
+// of selected entries written to out.
+int64_t ags_stride_sample(const int64_t* eligible, int64_t n,
+                          int64_t stride, int64_t* out) {
+    int64_t n_sel = 0;
+    int64_t i = 0;
+    while (i < n) {
+        const int64_t p = eligible[i];
+        out[n_sel++] = p;
+        const int64_t next = p + stride;
+        do {
+            ++i;
+        } while (i < n && eligible[i] < next);
+    }
+    return n_sel;
+}
+
 }  // extern "C"

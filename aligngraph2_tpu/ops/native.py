@@ -61,8 +61,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _pu16, _pi32, _pi64,
             _i64, _pi32, _pi32, _pi64,
         ]
+        lib.ags_stride_sample.restype = _i64
+        lib.ags_stride_sample.argtypes = [_pi64, _i64, _i64, _pi64]
         _lib = lib
         return _lib
+
+
+def stride_sample_native(eligible: np.ndarray,
+                         stride: int) -> Optional[np.ndarray]:
+    """Greedy stride sampling over a sorted position array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    eligible = np.ascontiguousarray(eligible, np.int64)
+    out = np.empty(max(len(eligible), 1), np.int64)
+    n = lib.ags_stride_sample(eligible.ctypes.data_as(_pi64),
+                              len(eligible), stride,
+                              out.ctypes.data_as(_pi64))
+    return out[:n]
 
 
 def seed_hits_native(index, bases: np.ndarray, read_start: np.ndarray

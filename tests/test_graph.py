@@ -81,7 +81,7 @@ class TestGraphCore:
     def test_merge_positions_chain_cluster(self):
         g = self.make_graph()
         # node 0 gets positions (100,200), (105,205), (300,400) -> 2 clusters
-        g._pos_chunks.append((np.array([0, 0, 0]),
+        g.append_positions(*(np.array([0, 0, 0]),
                               np.array([105, 100, 300]),
                               np.array([205, 200, 400])))
         removed = g.merge_positions(epsilon=10)
@@ -94,18 +94,18 @@ class TestGraphCore:
 
     def test_zero_coord_clusters_with_zero_only(self):
         g = self.make_graph()
-        g._pos_chunks.append((np.array([0, 0]), np.array([0, 0]),
+        g.append_positions(*(np.array([0, 0]), np.array([0, 0]),
                               np.array([200, 205])))
         removed = g.merge_positions(epsilon=10)
         assert removed == 1  # (0,200) and (0,205): ctg both zero, ref близко
         g2 = self.make_graph()
-        g2._pos_chunks.append((np.array([0, 0]), np.array([0, 100]),
+        g2.append_positions(*(np.array([0, 0]), np.array([0, 100]),
                                np.array([200, 205])))
         assert g2.merge_positions(epsilon=10) == 0  # ctg 0 vs 100: no merge
 
     def test_merge_edges_dedup(self):
         g = self.make_graph()
-        g._edge_chunks.append((np.array([0, 0, 1]), np.array([1, 1, 2]),
+        g.append_edges(*(np.array([0, 0, 1]), np.array([1, 1, 2]),
                                np.array([3, 3, 5])))
         assert g.merge_edges() == 1
         g.finalize()
@@ -114,10 +114,10 @@ class TestGraphCore:
 
     def test_successors_grading(self):
         g = self.make_graph()
-        g._pos_chunks.append((np.array([0, 1, 1]),
+        g.append_positions(*(np.array([0, 1, 1]),
                               np.array([100, 150, 5000]),
                               np.array([500, 550, 9000])))
-        g._edge_chunks.append((np.array([0]), np.array([1]), np.array([50])))
+        g.append_edges(*(np.array([0]), np.array([1]), np.array([50])))
         g.merge_edges()
         g.merge_positions(10)
         g.finalize()
