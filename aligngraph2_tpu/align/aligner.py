@@ -121,11 +121,12 @@ class LongReadAligner:
 
     def _batch_size(self, NQ: int, pallas: bool) -> int:
         if pallas:
-            # bound the dirs stream to ~2 GB; big batches amortize the
-            # latency-bound traceback steps across lanes
+            # bound the dirs stream to ~4 GB; big batches amortize the
+            # latency-bound traceback steps across lanes (measured: B=1024
+            # is ~25% faster per cell than B=512 on one chip)
             W = max(self.cfg.band_width, 256)
-            b = (2 << 30) // (NQ * W)
-            return int(np.clip(b // 128 * 128, 128, 512))
+            b = (4 << 30) // (NQ * W)
+            return int(np.clip(b // 128 * 128, 128, 1024))
         return max(1, min(64, (64 << 20) // (NQ * self.cfg.band_width)))
 
     def _emit(self, read_db, rid, cand, codes, score, qstr, tstr,

@@ -137,7 +137,7 @@ def main():
 
     tpu_devs = [d for d in jax.devices() if d.platform != "cpu"]
     if tpu_devs:
-        rate = measure_pallas(B=512, NQ=8192, W=512, iters=5)
+        rate = measure_pallas(B=1024, NQ=8192, W=512, iters=5)
     else:
         rate = measure(jax.devices()[0], B=16, NQ=2048, W=256, iters=3)
 
