@@ -134,7 +134,7 @@ class TestGraphCore:
 @pytest.fixture(scope="module")
 def pipeline_state():
     """Aligned synthetic dataset + built graph, shared across tests."""
-    ds = make_dataset(seed=5, genome_len=6000, coverage=10, mean_read=1000,
+    ds = make_dataset(seed=5, genome_len=6000, coverage=14, mean_read=1000,
                       read_err=0.03, n_contigs=2, contig_gap=400)
     reads = SeqDatabase(ds["reads"])
     ctgs = SeqDatabase(ds["contigs"])
