@@ -9,8 +9,11 @@
 // with one cache-friendly loop; the downstream candidate binning stays
 // in numpy on the ~100x smaller hit arrays.
 
+#include <algorithm>
 #include <cstddef>
 #include <cstdint>
+#include <cstdlib>
+#include <utility>
 #include <vector>
 
 using std::size_t;
@@ -74,6 +77,140 @@ int64_t ags_seed(const uint8_t* bases, const int64_t* read_start,
     if (needed > 0) return -(n_out + needed);
     return n_out;
 }
+
+// Solid-kmer set: rolling codes over all reads, radix sort, run-length
+// abundance histogram, and the reference's exact cutoff rule over the
+// dense 4^k table including absent (abundance-0) entries
+// (kmer_counter.cpp:58-77 / ops/kmer.py solid_min_abundance_sparse).
+// Returns the number of solid codes written to *out_codes (malloc'd,
+// ascending; freed with agk_free) and the cutoff via *out_cutoff.
+// A cutoff of 0 returns 0 codes with *out_cutoff = 0 — the caller emits
+// the full 4^k universe (the reference's degenerate regime).
+int64_t agk_solid(const uint8_t* bases, const int64_t* read_start,
+                  int64_t n_reads, int64_t k, double threshold,
+                  int64_t** out_codes, int64_t* out_cutoff) {
+    const uint32_t mask = (uint32_t)(((int64_t)1 << (2 * k)) - 1);
+    const int64_t table_size = (int64_t)1 << (2 * k);
+    int64_t total = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        int64_t n = read_start[r + 1] - read_start[r];
+        if (n >= k) total += n - k + 1;
+    }
+    std::vector<uint32_t> codes((size_t)total);
+    int64_t w = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int64_t lo = read_start[r], hi = read_start[r + 1];
+        if (hi - lo < k) continue;
+        uint32_t code = 0;
+        for (int64_t i = lo; i < lo + k - 1; ++i)
+            code = ((code << 2) | bases[i]) & mask;
+        for (int64_t i = lo + k - 1; i < hi; ++i) {
+            code = ((code << 2) | bases[i]) & mask;
+            codes[(size_t)w++] = code;
+        }
+    }
+    // radix sort: two passes of 15 bits (k <= 15 -> 30-bit keys)
+    {
+        const int BITS = 15;
+        const size_t NB = (size_t)1 << BITS;
+        std::vector<uint32_t> tmp((size_t)total);
+        std::vector<int64_t> cnt(NB);
+        uint32_t* src = codes.data();
+        uint32_t* dst = tmp.data();
+        for (int pass = 0; pass < 2; ++pass) {
+            const int shift = pass * BITS;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t i = 0; i < total; ++i)
+                ++cnt[(src[i] >> shift) & (NB - 1)];
+            int64_t acc = 0;
+            for (size_t b = 0; b < NB; ++b) {
+                int64_t c = cnt[b];
+                cnt[b] = acc;
+                acc += c;
+            }
+            for (int64_t i = 0; i < total; ++i)
+                dst[cnt[(src[i] >> shift) & (NB - 1)]++] = src[i];
+            std::swap(src, dst);
+        }
+        if (src != codes.data()) codes.swap(tmp);
+    }
+    // run-length scan: abundance histogram over distinct values
+    std::vector<std::pair<int64_t, int64_t>> hist;  // (abundance, freq)
+    {
+        const int64_t DENSE = 4096;
+        std::vector<int64_t> dense((size_t)DENSE, 0);
+        std::vector<std::pair<int64_t, int64_t>> big;  // rare long runs
+        int64_t n_runs = 0;
+        int64_t i = 0;
+        while (i < total) {
+            int64_t j = i + 1;
+            while (j < total && codes[(size_t)j] == codes[(size_t)i]) ++j;
+            int64_t ab = j - i;
+            if (ab < DENSE) {
+                ++dense[(size_t)ab];
+            } else {
+                bool found = false;
+                for (auto& e : big)
+                    if (e.first == ab) { ++e.second; found = true; break; }
+                if (!found) big.push_back({ab, 1});
+            }
+            ++n_runs;
+            i = j;
+        }
+        int64_t zero_entries = table_size - n_runs;
+        if (zero_entries > 0) hist.push_back({0, zero_entries});
+        for (int64_t ab = 1; ab < DENSE; ++ab)
+            if (dense[(size_t)ab]) hist.push_back({ab, dense[(size_t)ab]});
+        for (auto& e : big) hist.push_back(e);
+        std::sort(hist.begin(), hist.end());
+    }
+    // cutoff rule: smallest abundance where the strictly-greater mass
+    // fraction of table entries drops to <= threshold
+    int64_t cutoff = 0;
+    {
+        int64_t cum = 0;
+        for (auto& e : hist) {
+            cum += e.second;
+            if (1.0 - (double)cum / (double)table_size <= threshold) {
+                cutoff = e.first;
+                break;
+            }
+        }
+    }
+    *out_cutoff = cutoff;
+    if (cutoff == 0) {
+        *out_codes = nullptr;
+        return 0;
+    }
+    // collect codes with abundance >= cutoff (ascending)
+    int64_t n_solid = 0;
+    {
+        int64_t i = 0;
+        while (i < total) {
+            int64_t j = i + 1;
+            while (j < total && codes[(size_t)j] == codes[(size_t)i]) ++j;
+            if (j - i >= cutoff) ++n_solid;
+            i = j;
+        }
+    }
+    int64_t* out = (int64_t*)std::malloc(
+        sizeof(int64_t) * (size_t)std::max<int64_t>(n_solid, 1));
+    if (!out) return -1;
+    int64_t wr = 0;
+    {
+        int64_t i = 0;
+        while (i < total) {
+            int64_t j = i + 1;
+            while (j < total && codes[(size_t)j] == codes[(size_t)i]) ++j;
+            if (j - i >= cutoff) out[wr++] = (int64_t)codes[(size_t)i];
+            i = j;
+        }
+    }
+    *out_codes = out;
+    return n_solid;
+}
+
+void agk_free(int64_t* p) { std::free(p); }
 
 // Greedy stride sampling (PABruijnGraph.tcc sampleSequence /
 // graph/pagraph.py sample_sequence): walk the sorted eligible positions

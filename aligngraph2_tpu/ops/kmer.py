@@ -186,6 +186,26 @@ class SparseCounts:
         return self.codes[self.counts_arr >= min_ab]
 
 
+def solid_set(db, k: int, threshold: float = 0.2) -> np.ndarray:
+    """The solid-kmer set of a read database — the whole kmer_counter
+    stage in one call.
+
+    Native path: single-pass rolling codes + radix sort + the exact
+    cutoff rule in C++ (native/seedhits.cpp agk_solid).  Fallback: the
+    numpy counter below (the specification; identical output,
+    tests/test_native_seed.py)."""
+    if len(db):
+        from .native import solid_set_native
+        starts = db.offsets.astype(np.int64)
+        res = solid_set_native(db.codes, starts, k, threshold)
+        if res is not None:
+            codes, cutoff = res
+            if cutoff == 0:
+                return np.arange(1 << (2 * k), dtype=np.int64)
+            return codes
+    return count_reads_sorted(db, k).solid_codes(threshold)
+
+
 def count_reads_sorted(db, k: int,
                        chunk_bases: int = 256_000_000) -> SparseCounts:
     """Sort-based host counter — the scalable path.

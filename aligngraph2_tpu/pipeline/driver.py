@@ -34,7 +34,7 @@ from ..graph.pagraph import PAGraph
 from ..graph.processor import GroupSpec, PositionProcessor
 from ..io.fasta import concat_files, write_fasta
 from ..io.seqdb import SeqDatabase
-from ..ops.kmer import count_reads_sorted, read_solid_set, write_solid_set
+from ..ops.kmer import read_solid_set, solid_set, write_solid_set
 from ..traverse.assembly import assemble_group
 from ..traverse.walk import TravelState
 from .cache import StageCache
@@ -102,8 +102,7 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     cache = StageCache(wrk)
     if not (cache.check(read_path) and cache.check_args(k=cfg.graph.k)
             and os.path.exists(solid_path)):
-        counter = count_reads_sorted(reads, cfg.graph.k)
-        solid = counter.solid_codes(cfg.graph.solid_threshold)
+        solid = solid_set(reads, cfg.graph.k, cfg.graph.solid_threshold)
         write_solid_set(solid_path, cfg.graph.k, solid)
         cache.save(read_path)
         cache.save_args(k=cfg.graph.k)

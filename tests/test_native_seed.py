@@ -68,3 +68,31 @@ def test_native_hits_raw():
         tl = int(tpos[i]) - int(idx.db.offsets[ti])
         tk = kmer_codes_np(idx.db.get_codes(int(ti)), k)[tl]
         assert qk == tk
+
+
+def test_native_solid_set_matches_numpy():
+    from aligngraph2_tpu.ops.kmer import count_reads_sorted, solid_set
+    from aligngraph2_tpu.ops.native import solid_set_native
+    for seed, k, thr in [(1, 8, 0.2), (2, 10, 0.05), (3, 6, 0.2)]:
+        ds = make_dataset(seed=seed, genome_len=5000, coverage=12,
+                          mean_read=800, read_err=0.04)
+        reads = SeqDatabase(ds["reads"])
+        spec = count_reads_sorted(reads, k).solid_codes(thr)
+        got = solid_set(reads, k, thr)
+        np.testing.assert_array_equal(got, spec), (seed, k)
+        # the native call itself must have been available here
+        starts = reads.offsets.astype(np.int64)
+        assert solid_set_native(reads.codes, starts, k, thr) is not None
+
+
+def test_native_solid_set_degenerate_cutoff():
+    """Tiny dataset vs big table: cutoff 0 -> the full 4^k universe,
+    matching the reference's regime (kmer_counter.cpp:58-77)."""
+    from aligngraph2_tpu.ops.kmer import count_reads_sorted, solid_set
+    ds = make_dataset(seed=4, genome_len=400, coverage=3, mean_read=200)
+    reads = SeqDatabase(ds["reads"])
+    k = 12
+    spec = count_reads_sorted(reads, k).solid_codes(0.2)
+    got = solid_set(reads, k, 0.2)
+    np.testing.assert_array_equal(got, spec)
+    assert len(got) == 4 ** 12
