@@ -134,7 +134,9 @@ class LongReadAligner:
         cfg = self.cfg
         if qe - qb < cfg.min_aln_len:
             return
-        matches = sum(1 for a, c in zip(qstr, tstr) if a == c)
+        qa = np.frombuffer(qstr.encode(), np.uint8)
+        ta = np.frombuffer(tstr.encode(), np.uint8)
+        matches = int(np.count_nonzero(qa == ta))
         if matches < cfg.min_identity * len(qstr):
             return
         n = len(codes)

@@ -18,6 +18,7 @@ Stages:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -73,6 +74,16 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     _enable_compile_cache()
     t0 = time.time()
     stats: Dict[str, object] = {}
+    stage_s: Dict[str, float] = {}
+    _mark_t = [t0]
+
+    def mark(name: str) -> None:
+        """Structured per-stage wall time + RSS (replaces the
+        reference's MyTools prints, SURVEY.md §5)."""
+        now = time.time()
+        stage_s[name] = round(stage_s.get(name, 0.0)
+                              + now - _mark_t[0], 3)
+        _mark_t[0] = now
 
     wrk = os.path.join(out_dir, "working_dir")
     dirs = {name: os.path.join(wrk, *path.split("/")) for name, path in {
@@ -96,6 +107,8 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     stats["n_contigs"] = len(ctgs)
     stats["n_refs"] = len(refs)
 
+    mark("load")
+
     # ---- 1. solid k-mer set ----
     log("K-Mer counting...")
     solid_path = os.path.join(wrk, "solid_kmer_set.bin")
@@ -112,6 +125,8 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     _, solid = read_solid_set(solid_path)
     stats["n_solid"] = len(solid)
 
+    mark("kmer")
+
     # ---- 2. reads -> contigs ----
     log("Read to Contig...")
     r2c_path = os.path.join(dirs["mecat_ctg"], "read_to_contig.ref")
@@ -126,6 +141,8 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
         r2c = AlignmentSet.read_ref(r2c_path)
         log("Reuse")
     stats["n_read_to_ctg"] = len(r2c)
+
+    mark("read_to_ctg")
 
     # ---- 3. reads -> similar genome ----
     log("Read to Ref...")
@@ -146,6 +163,8 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
         log("Reuse")
     stats["n_read_to_ref"] = len(r2r)
 
+    mark("read_to_ref")
+
     # ---- 4. contigs -> similar genome ----
     log("Contig to Ref...")
     c2r_path = os.path.join(dirs["mummer"], "ctg_to_ref.ref")
@@ -162,12 +181,15 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     stats["n_ctg_to_ref"] = len(c2r)
 
     # ---- 5. contig grouping ----
+    mark("ctg_to_ref")
     log("Pre process...")
     groups = group_contigs(ctgs, c2r, cfg.preprocess.group_top_k,
                            cfg.preprocess.group_cover_ratio)
     write_config(os.path.join(dirs["input"], "config.txt"), groups)
     log(f"Done: {len(groups)} reference groups")
     stats["n_groups"] = len(groups)
+
+    mark("pre_process")
 
     # ---- 6. per-group graph + traversal ----
     log("PAGraph...")
@@ -229,6 +251,8 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
                         f"\t{clen}\n")
             f.write("\n")
 
+    mark("pagraph")
+
     # ---- 7. extract + align reads to new contigs ----
     log("Extract and split...")
     consumed = {n for n, _ in all_success}
@@ -241,6 +265,7 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     write_fasta(os.path.join(cns_in, "add.fasta"), add)
     write_fasta(os.path.join(cns_in, "all.fasta"), include + add)
 
+    mark("extract")
     log("Align and split...")
     cor_records = []
     if add:
@@ -261,6 +286,7 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
                                      cfg.consensus,
                                      threads=cfg.runtime.threads)
             cor_records.append((name, cns if cns else seq))
+    mark("align_split_correct")
     cor_path = os.path.join(dirs["cns_out"], "cor.fasta")
     write_fasta(cor_path, cor_records)
 
@@ -273,7 +299,13 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     import shutil
     shutil.copyfile(coninfo, os.path.join(out_dir, "connect_info.txt"))
 
+    mark("emit")
     stats["wall_s"] = time.time() - t0
+    stats["stage_s"] = stage_s
+    from ..utils.timing import rss_mb
+    stats["rss_mb"] = rss_mb()
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(stats, f, indent=1, default=str)
     log(f"Final output: {final_path}")
     log(f"Time used: {stats['wall_s']:.3f} seconds")
     return PipelineResult(final_fasta=final_path, out_dir=out_dir,
