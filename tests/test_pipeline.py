@@ -98,3 +98,18 @@ def test_stage_caching_reuse(pipeline_run):
                  log=msgs.append)
     joined = "\n".join(str(m) for m in msgs)
     assert joined.count("Reuse") >= 3
+
+
+def test_metrics_json_written(pipeline_run):
+    import json
+    res = pipeline_run["res"]
+    path = os.path.join(res.out_dir, "metrics.json")
+    assert os.path.exists(path)
+    m = json.load(open(path))
+    for key in ("n_reads", "n_solid", "n_read_to_ctg", "n_groups",
+                "wall_s", "stage_s"):
+        assert key in m, key
+    assert set(m["stage_s"]) >= {"kmer", "read_to_ctg", "read_to_ref",
+                                 "pagraph", "align_split_correct"}
+    assert m["stage_s"]["kmer"] >= 0
+    assert m["n_reads"] == len(pipeline_run["ds"]["reads"])
