@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="block2", help="size of long read blocks [100-1e5]")
     p.add_argument("-t", metavar="[int]", type=int, default=16,
                    dest="threads", help="thread number")
+    p.add_argument("--profile", metavar="[dir]", default=None,
+                   help="write a JAX profiler trace of the run here")
     return p
 
 
@@ -75,6 +77,7 @@ def main(argv=None) -> int:
     cfg.graph.cov_filter = args.cov
     cfg.consensus.window = args.block2
     cfg.runtime.threads = args.threads
+    cfg.runtime.profile_dir = args.profile
     try:
         cfg.validate()
         if not 50 <= args.b <= 1000:

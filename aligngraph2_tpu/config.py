@@ -108,6 +108,9 @@ class RuntimeConfig:
     block_axis: str = "block"       # mesh axis: genome-block sharding
     use_tpu: bool = True            # False forces CPU backend (tests)
     progress: bool = True
+    profile_dir: Optional[str] = None  # write a JAX profiler trace here
+                                    # (replaces the reference's hand-rolled
+                                    # timing/RSS prints, SURVEY.md §5)
 
 
 @dataclass

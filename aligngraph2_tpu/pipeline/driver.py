@@ -72,6 +72,18 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     cfg = cfg or PipelineConfig()
     cfg.validate()
     _enable_compile_cache()
+    if cfg.runtime.profile_dir:
+        import jax
+        jax.profiler.start_trace(cfg.runtime.profile_dir)
+        try:
+            return _run(read_path, ctg_path, genome_path, out_dir, cfg, log)
+        finally:
+            jax.profiler.stop_trace()
+    return _run(read_path, ctg_path, genome_path, out_dir, cfg, log)
+
+
+def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
+         cfg: PipelineConfig, log) -> PipelineResult:
     t0 = time.time()
     stats: Dict[str, object] = {}
     stage_s: Dict[str, float] = {}

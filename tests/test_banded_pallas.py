@@ -102,3 +102,32 @@ def test_batch_lanes_independent(rng):
     res1b, _, _, _ = run_pallas([g2[:120]], [g2], [0], NQ=NQ, W=W)
     assert int(res2.score[0]) == int(res1a.score[0]) == 200
     assert int(res2.score[1]) == int(res1b.score[0]) == 240
+
+
+def test_traceback_fast_matches_traceback_t(rng):
+    """traceback_fast (packed-word device walk + host run-length
+    expansion) must equal traceback_t move-for-move, including the
+    truncation-at-max_steps semantics."""
+    from aligngraph2_tpu.ops.banded_pallas import traceback_fast
+    NQ, W = 256, 64
+    B = 8
+    qs, ts, diags = [], [], []
+    for b in range(B):
+        g = encode_seq(random_genome(rng, NQ + 50))
+        read = encode_seq(mutate(rng, decode_seq(g[:NQ]), 0.12))[:NQ]
+        qs.append(read)
+        ts.append(g)
+        diags.append(0)
+    res, starts, q, t = run_pallas(qs, ts, diags, NQ, W=W)
+    for ms in (2 * NQ, 100, 32, 15):
+        m1, n1, i1, j1 = traceback_t(res.dirs_t, res.best_i, res.best_j,
+                                     max_steps=ms, W=W)
+        m2, n2, i2, j2 = traceback_fast(res.dirs_t, res.best_i,
+                                        res.best_j, max_steps=ms, W=W)
+        assert np.array_equal(np.asarray(m1), m2), ms
+        assert np.array_equal(np.asarray(n1), n2), ms
+        # start coordinates: traceback_t's device cursor equals the
+        # host-recomputed start exactly (truncated or not) because both
+        # apply the same move deltas to the same emitted prefix
+        assert np.array_equal(np.asarray(i1), i2), ms
+        assert np.array_equal(np.asarray(j1), j2), ms

@@ -113,3 +113,18 @@ def test_metrics_json_written(pipeline_run):
                                  "pagraph", "align_split_correct"}
     assert m["stage_s"]["kmer"] >= 0
     assert m["n_reads"] == len(pipeline_run["ds"]["reads"])
+
+
+def test_profiler_trace_written(pipeline_run):
+    """--profile / RuntimeConfig.profile_dir wraps the run in a JAX
+    profiler trace (SURVEY.md §5 tracing replacement)."""
+    read_path, ctg_path, ref_path = pipeline_run["paths"]
+    out = str(pipeline_run["tmp"] / "out")  # cached stages -> fast rerun
+    trace_dir = str(pipeline_run["tmp"] / "trace")
+    cfg = small_cfg()
+    cfg.runtime.profile_dir = trace_dir
+    run_pipeline(read_path, ctg_path, ref_path, out, cfg,
+                 log=lambda *a: None)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
+             for f in fs]
+    assert found, "no profiler trace files written"
