@@ -42,7 +42,7 @@ def _bucket(n: int, lo: int = 512) -> int:
 
 class LongReadAligner:
     def __init__(self, target_db: SeqDatabase, cfg: AlignerConfig,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, progress: bool = False):
         self.db = target_db
         self.cfg = cfg
         self.index = SeedIndex(target_db, cfg.seed_k,
@@ -51,6 +51,7 @@ class LongReadAligner:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self.progress = progress
 
     # ---------------- candidate generation ----------------
 
@@ -72,6 +73,8 @@ class LongReadAligner:
         W = cfg.band_width
         if ids is None:
             ids = range(len(read_db))
+        # ultra-long outliers would explode the padded DP stream; skip them
+        ids = [r for r in ids if read_db.size(r) <= cfg.max_read_len]
 
         # phase 1: batched seeding (host, one searchsorted per chunk)
         from ..ops.seedextend import find_candidates_batch
@@ -93,6 +96,8 @@ class LongReadAligner:
         jobs.sort(key=lambda j: len(j[2]))
         out = AlignmentSet()
         best_per_read: dict[int, int] = {}
+        from ..utils.timing import Progress
+        bar = Progress(len(jobs), enabled=self.progress)
         i = 0
         while i < len(jobs):
             NQ = _bucket(len(jobs[i][2]))
@@ -109,6 +114,7 @@ class LongReadAligner:
             else:
                 self._extend_batch(read_db, batch, NQ, NQ + 2 * W, out,
                                    best_per_read)
+            bar.update(len(batch))
 
         # delta filter: drop alignments scoring < delta * read best
         # (recovered mecat2ref+ '-y delta' semantics, see seedextend.py)
@@ -270,7 +276,8 @@ class LongReadAligner:
 
 
 def align_chunked(target_db: SeqDatabase, query_db: SeqDatabase,
-                  cfg: AlignerConfig) -> AlignmentSet:
+                  cfg: AlignerConfig, progress: bool = False
+                  ) -> AlignmentSet:
     """Contig->reference alignment via fixed-size pseudo-reads.
 
     Mirrors script/long2ref.py: chunk each contig into ``chunk_len`` pieces,
@@ -293,7 +300,7 @@ def align_chunked(target_db: SeqDatabase, query_db: SeqDatabase,
 
     from ..io.seqdb import decode_seq
     piece_db = SeqDatabase((nm, decode_seq(c)) for nm, c in pieces)
-    aligner = LongReadAligner(target_db, cfg)
+    aligner = LongReadAligner(target_db, cfg, progress=progress)
     raw = aligner.align_reads(piece_db)
 
     out = AlignmentSet()

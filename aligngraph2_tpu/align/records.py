@@ -142,16 +142,27 @@ class AlignmentSet:
                 l2 = f.readline().rstrip("\n")
                 l3 = f.readline().rstrip("\n")
                 parts = l1.split()
-                if len(parts) < 10 or len(l2) != len(l3):
+                if len(parts) < 9 or len(l2) != len(l3):
                     continue
                 try:
-                    score = int(float(parts[3])) if parts[3] != "NULL" else 0
+                    if len(parts) >= 10:
+                        score = (int(float(parts[3]))
+                                 if parts[3] != "NULL" else 0)
+                        qsize, rsize = int(parts[6]), int(parts[9])
+                    else:
+                        # 9-field ctg->ref variant: the reference's
+                        # MummerAlignDatabaseV2.cpp:21-24 reads exactly
+                        # 9 fields (score & sizes slots ignored) and sets
+                        # score = queryEnd - queryBegin (aligned length,
+                        # MummerAlignDatabaseV2.cpp:38).
+                        score = int(parts[5]) - int(parts[4])
+                        qsize, rsize = 0, 0
                     a = Alignment(
                         query_name=parts[0], ref_name=parts[1],
                         forward=parts[2] == "F", score=score,
                         qb=int(parts[4]), qe=int(parts[5]),
-                        qsize=int(parts[6]), rb=int(parts[7]),
-                        re=int(parts[8]), rsize=int(parts[9]),
+                        qsize=qsize, rb=int(parts[7]),
+                        re=int(parts[8]), rsize=rsize,
                         qstr=l2 if keep_strings else "",
                         tstr=l3 if keep_strings else "")
                     if not keep_strings:

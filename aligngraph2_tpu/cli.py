@@ -12,8 +12,9 @@ Notes vs the reference:
   * ``-l`` actually reaches the traversal here.  The reference validates
     it but clobbers it when invoking pagraph (AlignGraph2.py:417-424
     passes '-r' twice), so its traversals always ran with min_len=50.
-  * ``-b`` is accepted and mapped to the seeding block size; the
-    reference validates it but never forwards it (AlignGraph2.py:93-95).
+  * ``-b`` is accepted and mapped to the seeding block-shard size
+    (kb); the reference validates it but never forwards it
+    (AlignGraph2.py:93-95).
 """
 
 from __future__ import annotations
@@ -71,6 +72,10 @@ def main(argv=None) -> int:
     cfg.aligner.alpha = args.alpha
     cfg.aligner.beta = args.beta
     cfg.aligner.delta = args.delta
+    # -b arrives in the reference's unit ([50-1000], nominally kb of
+    # similar genome per block); it sets the block-sharding granularity
+    # of the multi-device seeding path (config.AlignerConfig.block_size)
+    cfg.aligner.block_size = args.b * 1000
     cfg.graph.k = args.k
     cfg.graph.epsilon = args.epsilon
     cfg.graph.min_len = args.min_len

@@ -27,7 +27,13 @@ class AlignerConfig:
 
     seed_k: int = 13                # seeding k-mer size (MECAT uses 13)
     seed_stride: int = 1            # query k-mer sampling stride for seeding
-    block_size: int = 2000          # genome block size for candidate scoring (bp)
+    block_size: int = 200_000       # genome block size (bp) for the sharded
+                                    # seed index (CLI -b, interpreted in kb:
+                                    # the reference validates -b in [50-1000]
+                                    # but never forwards it,
+                                    # AlignGraph2.py:93-95; here it sets the
+                                    # block-sharding granularity of the
+                                    # multi-device seeding path)
     alpha: float = 0.5              # lower clamp of block k-mer score
     beta: float = 2.0               # upper clamp of block k-mer score
     delta: float = 0.9              # alignment score acceptance threshold
@@ -37,13 +43,18 @@ class AlignerConfig:
     match_score: int = 2
     mismatch_score: int = -4
     gap_score: int = -3             # linear gap penalty
-    x_drop: int = 0                 # 0 = full band, no x-drop (round 1)
+    x_drop: int = 0                 # stop a lane once its running best drops
+                                    # more than this below the lane max
+                                    # (0 = full band, no x-drop)
     min_aln_len: int = 200          # drop alignments shorter than this (bases)
     min_identity: float = 0.6       # identity floor for emitted alignments
     chunk_len: int = 10_000         # pseudo-read chunking for contig->ref
                                     # (reference: script/long2ref.py:10)
     batch_reads: int = 64           # reads per device batch (padded)
-    max_read_len: int = 65_536      # pad/bucket ceiling for read length
+    max_read_len: int = 131_072     # reads longer than this are skipped by
+                                    # the aligner (padding past this would
+                                    # blow the DP stream budget; ultra-long
+                                    # outliers add nothing at 2^17+ bp)
 
 
 @dataclass
@@ -61,17 +72,19 @@ class GraphConfig:
     epsilon: int = 10               # position-join distance [5-100]
     min_len: int = 50               # minimum path length for traversal
     cov_filter: int = 2             # coverage filter -v
-    # hard-coded in pagraph.cpp:110-125:
+    # hard-coded in pagraph.cpp:110-125.  The reference also declares
+    # ctgToRefTopK / ctgToRefRatio / ctgToRefTotalRatio / ctgToRefMinLen /
+    # innerSample there, but they are dead upstream too: the ctg->ref
+    # filters are commented out in Aligner::simpleAlign
+    # (Aligner.cpp:112-151,174-176), _ctgToRefTopK is set-but-never-read
+    # (Aligner.cpp:269-271), and innerSample is stored-but-never-used
+    # (PositionProcessor.cpp:206-208) — so they are intentionally not
+    # carried here.
     read_to_ctg_top_k: int = -1
     read_to_ref_top_k: int = -1
-    ctg_to_ref_top_k: int = -1
     outer_sample: int = 3
-    inner_sample: int = 1
     read_to_ctg_ratio: float = 0.35
     read_to_ref_ratio: float = 0.10
-    ctg_to_ref_ratio: float = 0.0
-    ctg_to_ref_total_ratio: float = 0.1
-    ctg_to_ref_min_len: int = 50
     error_rate: float = 0.15
     start_split: float = 0.90
     # traversal deviation is epsilon * 2 (pagraph.cpp:250 'posError * 2')
@@ -106,8 +119,12 @@ class RuntimeConfig:
     threads: int = 16               # host worker threads for IO-bound stages
     data_axis: str = "data"         # mesh axis: reads data-parallel
     block_axis: str = "block"       # mesh axis: genome-block sharding
-    use_tpu: bool = True            # False forces CPU backend (tests)
-    progress: bool = True
+    sharded_align: bool | None = None  # run alignment under the device mesh
+                                    # (None = auto: sharded iff >1 device)
+    block_parallel: int | None = None  # devices on the block axis
+                                    # (None = auto, see parallel/mesh.py)
+    progress: bool = True           # console progress bar on long loops
+                                    # (MyTools::progress equivalent)
     profile_dir: Optional[str] = None  # write a JAX profiler trace here
                                     # (replaces the reference's hand-rolled
                                     # timing/RSS prints, SURVEY.md §5)

@@ -81,6 +81,42 @@ def write_fasta(path: str, records: Iterable[Tuple[str, str]],
                 f.write("\n")
 
 
+def write_text_if_changed(path: str, text: str) -> bool:
+    """Write ``text`` to ``path`` only if the content differs.
+
+    Leaving identical files untouched preserves their mtimes, which keeps
+    downstream StageCache CHECK records valid across reruns (the cache is
+    (size, mtime)-addressed, pipeline/cache.py).  Returns True if written.
+    """
+    try:
+        with open(path, "r") as f:
+            if f.read() == text:
+                return False
+    except OSError:
+        pass
+    with open(path, "w") as f:
+        f.write(text)
+    return True
+
+
+def render_fasta(records: Iterable[Tuple[str, str]],
+                 line_width: int = LINE_WIDTH) -> str:
+    out: list[str] = []
+    for name, seq in records:
+        out.append(f">{name}\n")
+        for i in range(0, len(seq), line_width):
+            out.append(seq[i:i + line_width])
+            out.append("\n")
+    return "".join(out)
+
+
+def write_fasta_if_changed(path: str, records: Iterable[Tuple[str, str]],
+                           line_width: int = LINE_WIDTH) -> bool:
+    """write_fasta preserving mtime when content is unchanged (see
+    write_text_if_changed)."""
+    return write_text_if_changed(path, render_fasta(records, line_width))
+
+
 def write_fastq(path: str, records: Iterable[Tuple[str, str]]) -> None:
     """Write FASTQ with dummy quality (reference long2ref fakes quality too,
     script/long2ref.py:30)."""

@@ -33,14 +33,15 @@ from ..consensus.window import consensus_backbone
 from ..coords.mapper import PositionMapper
 from ..graph.pagraph import PAGraph
 from ..graph.processor import GroupSpec, PositionProcessor
-from ..io.fasta import concat_files, write_fasta
+from ..io.fasta import (write_fasta, write_fasta_if_changed,
+                        write_text_if_changed)
 from ..io.seqdb import SeqDatabase
 from ..ops.kmer import read_solid_set, solid_set, write_solid_set
 from ..traverse.assembly import assemble_group
 from ..traverse.walk import TravelState
 from .cache import StageCache
-from .preprocess import (group_contigs, group_read_names, subset_alignments,
-                         write_config)
+from .preprocess import (group_contigs, group_read_names, read_config,
+                         subset_alignments, write_config)
 
 
 @dataclass
@@ -143,11 +144,17 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     log("Read to Contig...")
     r2c_path = os.path.join(dirs["mecat_ctg"], "read_to_contig.ref")
     c_cache = StageCache(dirs["mecat_ctg"])
+    aln_args = dict(alpha=cfg.aligner.alpha, beta=cfg.aligner.beta,
+                    delta=cfg.aligner.delta)
     if not (c_cache.check(read_path, ctg_path)
+            and c_cache.check_args(**aln_args)
             and os.path.exists(r2c_path)):
-        r2c = LongReadAligner(ctgs, cfg.aligner).align_reads(reads)
+        r2c = LongReadAligner(ctgs, cfg.aligner,
+                              progress=cfg.runtime.progress
+                              ).align_reads(reads)
         r2c.write_ref(r2c_path)
         c_cache.save(read_path, ctg_path)
+        c_cache.save_args(**aln_args)
         log(f"Done: {len(r2c)} alignments")
     else:
         r2c = AlignmentSet.read_ref(r2c_path)
@@ -160,12 +167,12 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     log("Read to Ref...")
     r2r_path = os.path.join(dirs["mecat_ref"], "read_to_ref.ref")
     r_cache = StageCache(dirs["mecat_ref"])
-    aln_args = dict(alpha=cfg.aligner.alpha, beta=cfg.aligner.beta,
-                    delta=cfg.aligner.delta)
     if not (r_cache.check(read_path, genome_path)
             and r_cache.check_args(**aln_args)
             and os.path.exists(r2r_path)):
-        r2r = LongReadAligner(refs, cfg.aligner).align_reads(reads)
+        r2r = LongReadAligner(refs, cfg.aligner,
+                              progress=cfg.runtime.progress
+                              ).align_reads(reads)
         r2r.write_ref(r2r_path)
         r_cache.save(read_path, genome_path)
         r_cache.save_args(**aln_args)
@@ -182,10 +189,13 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     c2r_path = os.path.join(dirs["mummer"], "ctg_to_ref.ref")
     m_cache = StageCache(dirs["mummer"])
     if not (m_cache.check(ctg_path, genome_path)
+            and m_cache.check_args(**aln_args)
             and os.path.exists(c2r_path)):
-        c2r = align_chunked(refs, ctgs, cfg.aligner)
+        c2r = align_chunked(refs, ctgs, cfg.aligner,
+                            progress=cfg.runtime.progress)
         c2r.write_ref(c2r_path)
         m_cache.save(ctg_path, genome_path)
+        m_cache.save_args(**aln_args)
         log(f"Done: {len(c2r)} alignments")
     else:
         c2r = AlignmentSet.read_ref(c2r_path)
@@ -195,24 +205,74 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     # ---- 5. contig grouping ----
     mark("ctg_to_ref")
     log("Pre process...")
-    groups = group_contigs(ctgs, c2r, cfg.preprocess.group_top_k,
-                           cfg.preprocess.group_cover_ratio)
-    write_config(os.path.join(dirs["input"], "config.txt"), groups)
-    log(f"Done: {len(groups)} reference groups")
+    config_path = os.path.join(dirs["input"], "config.txt")
+    p_cache = StageCache(dirs["input"])
+    pre_args = dict(top_k=cfg.preprocess.group_top_k,
+                    ratio=cfg.preprocess.group_cover_ratio)
+    if (p_cache.check(ctg_path, c2r_path) and p_cache.check_args(**pre_args)
+            and os.path.exists(config_path)):
+        groups = read_config(config_path)
+        log("Reuse")
+    else:
+        groups = group_contigs(ctgs, c2r, cfg.preprocess.group_top_k,
+                               cfg.preprocess.group_cover_ratio)
+        write_config(config_path, groups)
+        p_cache.save(ctg_path, c2r_path)
+        p_cache.save_args(**pre_args)
+        log(f"Done: {len(groups)} reference groups")
     stats["n_groups"] = len(groups)
 
     mark("pre_process")
 
     # ---- 6. per-group graph + traversal ----
+    # Gating mirrors the reference's per-group DONE + ARGS markers on top
+    # of the stage-level input CHECK (/root/reference/AlignGraph2.py:405-431):
+    # a group is reused iff the stage inputs are unchanged (which includes
+    # the aligner-rerun cascade — a recomputed alignment stage rewrites its
+    # .ref file, breaking the CHECK) AND its own DONE/ARGS/result are intact.
     log("PAGraph...")
-    graph = PAGraph(solid, cfg.graph.k)
+    g_cache = StageCache(dirs["pagraph"])
+    stage6_inputs = (read_path, solid_path, r2c_path, r2r_path, c2r_path,
+                     config_path)
+    stage6_fresh = g_cache.check(*stage6_inputs)
+    if not stage6_fresh:
+        # record input state up front: a crashed run resumes per-group via
+        # the DONE markers, exactly like the reference's per-group gating
+        g_cache.save(*stage6_inputs)
+    g_args = dict(k=cfg.graph.k, epsilon=cfg.graph.epsilon,
+                  min_len=cfg.graph.min_len, cov=cfg.graph.cov_filter,
+                  outer_sample=cfg.graph.outer_sample,
+                  error_rate=cfg.graph.error_rate,
+                  start_split=cfg.graph.start_split,
+                  travel_top_k=cfg.graph.travel_top_k,
+                  r2c_ratio=cfg.graph.read_to_ctg_ratio,
+                  r2r_ratio=cfg.graph.read_to_ref_ratio)
+    graph = None
     all_success: set = set()
     connections: List[dict] = []
+    reused_groups = 0
     for gi, group in enumerate(groups):
         gdir = os.path.join(dirs["pagraph"], str(gi))
         os.makedirs(gdir, exist_ok=True)
+        res_path = os.path.join(gdir, "result.json")
+        grp_cache = StageCache(gdir)
+        if (stage6_fresh and grp_cache.check_args(**g_args)
+                and os.path.exists(os.path.join(gdir, "DONE"))
+                and os.path.exists(res_path)):
+            with open(res_path) as f:
+                saved = json.load(f)
+            all_success |= {(n, bool(fwd)) for n, fwd in saved["success"]}
+            for c in saved["connections"]:
+                c["members"] = [(n, bool(fw), ln)
+                                for n, fw, ln in c["members"]]
+                connections.append(c)
+            log(f"  group {gi}: Reuse")
+            reused_groups += 1
+            continue
         log(f"  group {gi}: ref={group.ref_name} "
             f"contigs={len(group.contigs)}")
+        if graph is None:
+            graph = PAGraph(solid, cfg.graph.k)
         member_names = {n for n, _ in group.contigs}
         g_ctgs = SeqDatabase((n, s) for n, s in ctgs.records()
                              if n in member_names)
@@ -242,26 +302,35 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
         res = assemble_group(st, group.contigs, gdir, f"{gi}_")
         all_success |= res.success
         connections.extend(res.connections)
+        with open(res_path, "w") as f:
+            json.dump({"success": sorted(res.success),
+                       "connections": res.connections}, f)
+        grp_cache.save_args(**g_args)
         with open(os.path.join(gdir, "DONE"), "w"):
             pass
     log(f"Done: {len(connections)} assembled chains, "
-        f"{len(all_success)} contigs consumed")
+        f"{len(all_success)} contigs consumed"
+        + (f" ({reused_groups} groups reused)" if reused_groups else ""))
     stats["n_chains"] = len(connections)
     stats["consumed"] = sorted(n for n, _ in all_success)
+    stats["reused_groups"] = reused_groups
 
-    # merged outputs (split_helper.merge_out semantics)
+    # merged outputs (split_helper.merge_out semantics); content-addressed
+    # writes keep mtimes stable so downstream CHECKs survive no-op reruns
     contig_txt = os.path.join(dirs["pagraph_m"], "contig.txt")
-    with open(contig_txt, "w") as f:
-        for name in sorted({n for n, _ in all_success}):
-            f.write(name + "\n")
+    write_text_if_changed(
+        contig_txt,
+        "".join(name + "\n"
+                for name in sorted({n for n, _ in all_success})))
     coninfo = os.path.join(dirs["pagraph_m"], "coninfo")
-    with open(coninfo, "w") as f:
-        for c in connections:
-            f.write(f"{c['name']}\t{c['length']}\n")
-            for cname, cfwd, clen in c["members"]:
-                f.write(f"{cname}\t{'FORWARD' if cfwd else 'REV'}"
-                        f"\t{clen}\n")
-            f.write("\n")
+    coninfo_lines = []
+    for c in connections:
+        coninfo_lines.append(f"{c['name']}\t{c['length']}\n")
+        for cname, cfwd, clen in c["members"]:
+            coninfo_lines.append(
+                f"{cname}\t{'FORWARD' if cfwd else 'REV'}\t{clen}\n")
+        coninfo_lines.append("\n")
+    write_text_if_changed(coninfo, "".join(coninfo_lines))
 
     mark("pagraph")
 
@@ -272,35 +341,66 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     exclude = [(n, s) for n, s in ctgs.records() if n in consumed]
     add = [(c["name"], c["sequence"]) for c in connections]
     cns_in = dirs["cns_in"]
-    write_fasta(os.path.join(cns_in, "include.fasta"), include)
-    write_fasta(os.path.join(cns_in, "exclude.fasta"), exclude)
-    write_fasta(os.path.join(cns_in, "add.fasta"), add)
-    write_fasta(os.path.join(cns_in, "all.fasta"), include + add)
+    all_path = os.path.join(cns_in, "all.fasta")
+    write_fasta_if_changed(os.path.join(cns_in, "include.fasta"), include)
+    write_fasta_if_changed(os.path.join(cns_in, "exclude.fasta"), exclude)
+    write_fasta_if_changed(os.path.join(cns_in, "add.fasta"), add)
+    write_fasta_if_changed(all_path, include + add)
 
     mark("extract")
     log("Align and split...")
+    merge_path = os.path.join(dirs["cns_wrk"], "merge.ref")
+    w_cache = StageCache(dirs["cns_wrk"])
+    if add:
+        if (w_cache.check(read_path, all_path)
+                and w_cache.check_args(**aln_args)
+                and os.path.exists(merge_path)):
+            merge_alns = AlignmentSet.read_ref(merge_path)
+            log("Reuse")
+        else:
+            all_db = SeqDatabase(include + add)
+            merge_alns = LongReadAligner(
+                all_db, cfg.aligner,
+                progress=cfg.runtime.progress).align_reads(reads)
+            merge_alns.write_ref(merge_path)
+            w_cache.save(read_path, all_path)
+            w_cache.save_args(**aln_args)
+            log(f"Done: {len(merge_alns)} alignments")
+
+    # ---- 8. windowed consensus ----
+    mark("align_split")
+    log("Correct...")
+    cor_path = os.path.join(dirs["cns_out"], "cor.fasta")
+    o_cache = StageCache(dirs["cns_out"])
+    cns_args = dict(window=cfg.consensus.window, top_k=cfg.consensus.top_k,
+                    alpha=cfg.consensus.alpha,
+                    min_weight=cfg.consensus.min_weight)
     cor_records = []
     if add:
-        all_db = SeqDatabase(include + add)
-        merge_alns = LongReadAligner(all_db, cfg.aligner).align_reads(reads)
-        merge_alns.write_ref(os.path.join(dirs["cns_wrk"], "merge.ref"))
-        per_backbone: Dict[str, AlignmentSet] = {
-            name: AlignmentSet() for name, _ in add}
-        for a in merge_alns:
-            if a.ref_name in per_backbone:
-                per_backbone[a.ref_name].append(a)
-
-        # ---- 8. windowed consensus ----
-        log("Correct...")
-        for name, seq in add:
-            log(f"\tcorrecting {name}")
-            cns = consensus_backbone(seq, per_backbone[name],
-                                     cfg.consensus,
-                                     threads=cfg.runtime.threads)
-            cor_records.append((name, cns if cns else seq))
-    mark("align_split_correct")
-    cor_path = os.path.join(dirs["cns_out"], "cor.fasta")
-    write_fasta(cor_path, cor_records)
+        if (o_cache.check(merge_path, all_path)
+                and o_cache.check_args(**cns_args)
+                and os.path.exists(cor_path)):
+            from ..io.fasta import iter_fasta
+            cor_records = list(iter_fasta(cor_path))
+            log("Reuse")
+        else:
+            per_backbone: Dict[str, AlignmentSet] = {
+                name: AlignmentSet() for name, _ in add}
+            for a in merge_alns:
+                if a.ref_name in per_backbone:
+                    per_backbone[a.ref_name].append(a)
+            for name, seq in add:
+                log(f"\tcorrecting {name}")
+                cns = consensus_backbone(seq, per_backbone[name],
+                                         cfg.consensus,
+                                         threads=cfg.runtime.threads)
+                cor_records.append((name, cns if cns else seq))
+            write_fasta(cor_path, cor_records)
+            o_cache.save(merge_path, all_path)
+            o_cache.save_args(**cns_args)
+    else:
+        write_fasta(cor_path, cor_records)
+    mark("correct")
 
     # ---- final outputs ----
     final_path = os.path.join(out_dir, "final.fasta")

@@ -77,6 +77,27 @@ def write_config(path: str, groups: List[GroupSpec]) -> None:
             f.write("\n")
 
 
+def read_config(path: str) -> List[GroupSpec]:
+    """Parse a config.txt manifest back into GroupSpecs (inverse of
+    write_config; same format pagraph itself parses, pagraph.cpp:29-49)."""
+    groups: List[GroupSpec] = []
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
+        ref_name = lines[i]
+        i += 4  # skip the three per-group file names
+        contigs: List[Tuple[str, bool]] = []
+        while i + 1 < len(lines) and lines[i]:
+            contigs.append((lines[i], lines[i + 1] == "1"))
+            i += 2
+        groups.append(GroupSpec(ref_name=ref_name, contigs=contigs))
+    return groups
+
+
 def group_read_names(group: GroupSpec, read_to_ctg: AlignmentSet,
                      read_to_ref: AlignmentSet) -> Set[str]:
     """Reads belonging to a group: any read aligned to a member contig or

@@ -120,3 +120,29 @@ def test_align_chunked_contigs(dataset):
         # chunk offset rewrite must keep target strings honest
         sseq = similar.get_str(similar.seq_id(a.ref_name))
         assert a.tstr.replace("-", "") == sseq[a.rb:a.re]
+
+
+def test_read_ref_nine_field_mummer_variant(tmp_path):
+    """The reference's ctg->ref files use a 9-field header (no sizes;
+    score slot ignored) parsed by MummerAlignDatabaseV2.cpp:21-24 with
+    score = queryEnd - queryBegin.  read_ref must accept that form."""
+    path = str(tmp_path / "nine.ref")
+    with open(path, "w") as f:
+        f.write("ctg1 gref F 0 10 20 0 100 110\n")
+        f.write("ACGTACGTAC\n")
+        f.write("ACGTACGTAC\n")
+        # malformed record (too few fields) must be dropped
+        f.write("bad header\nAC\nAC\n")
+        # 10-field record still parses with its own score/sizes
+        f.write("ctg2 gref R 55 5 15 40 200 210 5000\n")
+        f.write("ACGTACGTAC\n")
+        f.write("ACGTACGTAC\n")
+    alns = AlignmentSet.read_ref(path)
+    assert len(alns) == 2
+    nine = alns[0]
+    assert (nine.query_name, nine.ref_name) == ("ctg1", "gref")
+    assert nine.forward and nine.score == 10  # aligned length
+    assert (nine.qb, nine.qe, nine.rb, nine.re) == (10, 20, 100, 110)
+    ten = alns[1]
+    assert not ten.forward and ten.score == 55
+    assert (ten.qsize, ten.rsize) == (40, 5000)

@@ -90,14 +90,41 @@ def test_final_matches_genome(pipeline_run):
 
 
 def test_stage_caching_reuse(pipeline_run):
-    """Re-running the pipeline must reuse cached alignment stages."""
+    """Re-running the pipeline must reuse EVERY cached stage: kmer, the
+    three alignment stages, grouping, every pagraph group, the merge
+    alignment, and consensus (the reference gates all of them,
+    /root/reference/AlignGraph2.py:405-431)."""
     read_path, ctg_path, ref_path = pipeline_run["paths"]
     out = str(pipeline_run["tmp"] / "out")
     msgs = []
+    res = run_pipeline(read_path, ctg_path, ref_path, out, small_cfg(),
+                       log=msgs.append)
+    joined = "\n".join(str(m) for m in msgs)
+    assert joined.count("Reuse") >= 7, joined
+    n_groups = res.stats["n_groups"]
+    assert res.stats["reused_groups"] == n_groups
+
+
+def test_stage_cache_rerun_cascade(pipeline_run):
+    """Changing an aligner parameter must rerun the alignment stages AND
+    cascade the recompute to the dependent stages (the reference's
+    mecat_rerun flag, /root/reference/AlignGraph2.py:245,367)."""
+    read_path, ctg_path, ref_path = pipeline_run["paths"]
+    out = str(pipeline_run["tmp"] / "out_cascade")
+    msgs = []
     run_pipeline(read_path, ctg_path, ref_path, out, small_cfg(),
                  log=msgs.append)
-    joined = "\n".join(str(m) for m in msgs)
-    assert joined.count("Reuse") >= 3
+    cfg2 = small_cfg()
+    cfg2.aligner.delta = 0.45  # changes stage-3 ARGS -> r2r recomputed
+    msgs2 = []
+    res2 = run_pipeline(read_path, ctg_path, ref_path, out, cfg2,
+                        log=msgs2.append)
+    joined2 = "\n".join(str(m) for m in msgs2)
+    # delta feeds every aligner stage: all .ref files rewritten -> the
+    # pagraph groups and consensus recompute (the cascade)
+    assert res2.stats["reused_groups"] == 0, joined2
+    # the k-mer stage does not depend on delta -> still reused
+    assert joined2.count("Reuse") >= 1, joined2
 
 
 def test_metrics_json_written(pipeline_run):
@@ -110,7 +137,7 @@ def test_metrics_json_written(pipeline_run):
                 "wall_s", "stage_s"):
         assert key in m, key
     assert set(m["stage_s"]) >= {"kmer", "read_to_ctg", "read_to_ref",
-                                 "pagraph", "align_split_correct"}
+                                 "pagraph", "align_split", "correct"}
     assert m["stage_s"]["kmer"] >= 0
     assert m["n_reads"] == len(pipeline_run["ds"]["reads"])
 
