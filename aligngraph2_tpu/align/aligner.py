@@ -41,12 +41,24 @@ def _bucket(n: int, lo: int = 512) -> int:
 
 
 class LongReadAligner:
+    """Seed-extend aligner.  Single device: host seeding + Pallas/scan
+    extension.  With ``mesh``: block-sharded device seeding +
+    all-device extension (parallel/sharded.py)."""
+
     def __init__(self, target_db: SeqDatabase, cfg: AlignerConfig,
-                 use_pallas: bool | None = None, progress: bool = False):
+                 use_pallas: bool | None = None, progress: bool = False,
+                 mesh=None):
         self.db = target_db
         self.cfg = cfg
-        self.index = SeedIndex(target_db, cfg.seed_k,
-                               stride=cfg.seed_stride)
+        self.mesh = mesh
+        if mesh is None:
+            self.index = SeedIndex(target_db, cfg.seed_k,
+                                   stride=cfg.seed_stride)
+        else:
+            self._block_index = None   # built lazily on first align
+            self._dev_index = None
+            self._seeders = {}
+            self._extenders = {}
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -75,6 +87,8 @@ class LongReadAligner:
             ids = range(len(read_db))
         # ultra-long outliers would explode the padded DP stream; skip them
         ids = [r for r in ids if read_db.size(r) <= cfg.max_read_len]
+        if self.mesh is not None:
+            return self._align_reads_sharded(read_db, ids)
 
         # phase 1: batched seeding (host, one searchsorted per chunk)
         from ..ops.seedextend import find_candidates_batch
@@ -261,6 +275,193 @@ class LongReadAligner:
             self._emit(read_db, rid, cand, codes, score, qstr, tstr,
                        qb, qe, rb, re, out, best_per_read)
 
+    # ---------------- sharded (multi-device) path ----------------
+
+    def _ensure_sharded_index(self) -> None:
+        from ..parallel.sharded import build_block_index, put_sharded_index
+        if self._block_index is not None:
+            return
+        cfg = self.cfg
+        longest = int(self.db.lengths.max()) if len(self.db) else 1
+        BL = min(cfg.block_size, longest)
+        BL = max((BL + 127) // 128 * 128, 4 * cfg.band_width, 256)
+        block_par = self.mesh.shape[self._block_axis]
+        self._block_index = build_block_index(
+            self.db, cfg.seed_k, BL, pad_blocks_to=block_par)
+        self._dev_index = put_sharded_index(self._block_index, self.mesh,
+                                            self._block_axis)
+
+    @property
+    def _data_axis(self) -> str:
+        return self.mesh.axis_names[0]
+
+    @property
+    def _block_axis(self) -> str:
+        return self.mesh.axis_names[1]
+
+    def _get_seeder(self, NQ: int):
+        if NQ not in self._seeders:
+            from ..parallel.sharded import make_sharded_seeder
+            cfg = self.cfg
+            self._seeders[NQ] = make_sharded_seeder(
+                self.mesh, k=cfg.seed_k, BL=self._block_index.block_len,
+                bin_w=max(cfg.band_width // 2, 32),
+                min_hits=cfg.min_block_hits, alpha=cfg.alpha,
+                beta=cfg.beta, K=cfg.max_candidates,
+                data_axis=self._data_axis, block_axis=self._block_axis)
+        return self._seeders[NQ]
+
+    def _get_extender(self, NQ: int, NT: int):
+        if NQ not in self._extenders:
+            from ..parallel.sharded import make_sharded_extender
+            cfg = self.cfg
+            self._extenders[NQ] = make_sharded_extender(
+                self.mesh, W=cfg.band_width, match=cfg.match_score,
+                mismatch=cfg.mismatch_score, gap=cfg.gap_score,
+                max_steps=NQ + NT, data_axis=self._data_axis,
+                block_axis=self._block_axis)
+        return self._extenders[NQ]
+
+    def _align_reads_sharded(self, read_db: SeqDatabase,
+                             ids: Sequence[int]) -> AlignmentSet:
+        """Mesh path of align_reads: device seeding over the block-sharded
+        index, host lane compaction, all-device banded extension.  Output
+        is bit-identical for any mesh shape (tests/test_sharded_aligner)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cfg = self.cfg
+        mesh = self.mesh
+        W = cfg.band_width
+        K = cfg.max_candidates
+        self._ensure_sharded_index()
+        idx = self._block_index
+        data_par = mesh.shape[self._data_axis]
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        d_spec = NamedSharding(mesh, P(self._data_axis, None))
+        d_spec1 = NamedSharding(mesh, P(self._data_axis))
+        lanes_ax = (self._data_axis, self._block_axis)
+        l_spec = NamedSharding(mesh, P(lanes_ax, None))
+        l_spec1 = NamedSharding(mesh, P(lanes_ax))
+
+        buckets: dict[int, list[int]] = {}
+        for rid in ids:
+            buckets.setdefault(_bucket(read_db.size(rid)), []).append(rid)
+
+        out = AlignmentSet()
+        best_per_read: dict[str, int] = {}
+        from ..utils.timing import Progress
+        bar = Progress(len(ids), enabled=self.progress)
+        for NQ in sorted(buckets):
+            NT = NQ + 2 * W
+            per_dev = max(1, min(64, (64 << 20) // (NQ * W)))
+            B = data_par * per_dev
+            lane_B = n_dev * per_dev
+            seeder = self._get_seeder(NQ)
+            extender = self._get_extender(NQ, NT)
+            idsb = buckets[NQ]
+            for s in range(0, len(idsb), B):
+                chunk = idsb[s:s + B]
+                rows = chunk + [-1] * (B - len(chunk))
+                q_fwd = np.zeros((B, NQ), np.uint8)
+                q_rev = np.zeros((B, NQ), np.uint8)
+                lens = np.zeros(B, np.int32)
+                for r, rid in enumerate(rows):
+                    if rid < 0:
+                        continue
+                    cf = read_db.get_codes(rid)
+                    q_fwd[r, :len(cf)] = cf
+                    q_rev[r, :len(cf)] = revcomp_codes(cf)
+                    lens[r] = len(cf)
+                sel, c_block, c_strand, c_diag, c_cnt, c_score = seeder(
+                    jax.device_put(q_fwd, d_spec),
+                    jax.device_put(q_rev, d_spec),
+                    jax.device_put(lens, d_spec1), *self._dev_index)
+                sel = np.asarray(sel)
+                c_block = np.asarray(c_block)
+                c_strand = np.asarray(c_strand)
+                c_diag = np.asarray(c_diag)
+                c_cnt = np.asarray(c_cnt)
+                c_score = np.asarray(c_score)
+
+                # host lane compaction: live (read, candidate) pairs only
+                lanes = []  # (row, k, tid, bstart, ws, tlen, c0)
+                for r, rid in enumerate(rows):
+                    if rid < 0:
+                        continue
+                    for kk in range(K):
+                        if not sel[r, kk]:
+                            continue
+                        blk = int(c_block[r, kk])
+                        diag = int(c_diag[r, kk])
+                        tid = int(idx.block_seq[blk])
+                        bstart = int(idx.block_start[blk])
+                        ws = max(0, diag - W)
+                        tlen = min(self.db.size(tid) - (bstart + ws), NT)
+                        if tlen <= 0:
+                            continue
+                        lanes.append((r, kk, tid, bstart, ws, tlen,
+                                      diag - ws))
+                for ls in range(0, len(lanes), lane_B):
+                    lchunk = lanes[ls:ls + lane_B]
+                    LB = lane_B
+                    q = np.zeros((LB, NQ), np.uint8)
+                    qlen = np.zeros(LB, np.int32)
+                    t = np.zeros((LB, NT), np.uint8)
+                    tl = np.zeros(LB, np.int32)
+                    c0 = np.zeros(LB, np.int32)
+                    for li, (r, kk, tid, bstart, ws, tlen, c0v) \
+                            in enumerate(lchunk):
+                        q[li] = q_fwd[r] if c_strand[r, kk] else q_rev[r]
+                        qlen[li] = lens[r]
+                        win = self.db.get_codes(tid)[
+                            bstart + ws:bstart + ws + NT]
+                        t[li, :len(win)] = win
+                        tl[li] = len(win)
+                        c0[li] = c0v
+                    e_score, e_moves, e_si, e_tb = extender(
+                        jax.device_put(q, l_spec),
+                        jax.device_put(qlen, l_spec1),
+                        jax.device_put(t, l_spec),
+                        jax.device_put(tl, l_spec1),
+                        jax.device_put(c0, l_spec1))
+                    e_score = np.asarray(e_score)
+                    e_moves = np.asarray(e_moves)
+                    e_si = np.asarray(e_si)
+                    e_tb = np.asarray(e_tb)
+                    for li, (r, kk, tid, bstart, ws, tlen, c0v) \
+                            in enumerate(lchunk):
+                        score = int(e_score[li])
+                        if score <= 0:
+                            continue
+                        rid = rows[r]
+                        forward = bool(c_strand[r, kk])
+                        codes = q_fwd[r][:lens[r]] if forward \
+                            else q_rev[r][:lens[r]]
+                        win = self.db.get_codes(tid)[
+                            bstart + ws:bstart + ws + NT]
+                        qb = int(e_si[li])
+                        tb = int(e_tb[li])
+                        qstr, tstr, qe, te = moves_to_strings(
+                            e_moves[li], codes, qb, tb, win)
+                        rb = bstart + ws + tb
+                        re = bstart + ws + te
+                        gdiag = bstart + int(c_diag[r, kk])
+                        cand = Candidate(tid=tid, forward=forward,
+                                         diag=gdiag,
+                                         hits=int(c_cnt[r, kk]),
+                                         score=float(c_score[r, kk]))
+                        self._emit(read_db, rid, cand, codes, score,
+                                   qstr, tstr, qb, qe, rb, re, out,
+                                   best_per_read)
+                bar.update(len(chunk))
+
+        kept = [a for a in out
+                if a.score >= cfg.delta * best_per_read.get(
+                    a.query_name, a.score)]
+        res = AlignmentSet(kept)
+        res.sort_by_score()
+        return res
+
     @staticmethod
     def _is_duplicate(out: AlignmentSet, a: Alignment) -> bool:
         """Adjacent seeding candidates can converge to the same alignment
@@ -276,8 +477,8 @@ class LongReadAligner:
 
 
 def align_chunked(target_db: SeqDatabase, query_db: SeqDatabase,
-                  cfg: AlignerConfig, progress: bool = False
-                  ) -> AlignmentSet:
+                  cfg: AlignerConfig, progress: bool = False,
+                  mesh=None) -> AlignmentSet:
     """Contig->reference alignment via fixed-size pseudo-reads.
 
     Mirrors script/long2ref.py: chunk each contig into ``chunk_len`` pieces,
@@ -300,7 +501,7 @@ def align_chunked(target_db: SeqDatabase, query_db: SeqDatabase,
 
     from ..io.seqdb import decode_seq
     piece_db = SeqDatabase((nm, decode_seq(c)) for nm, c in pieces)
-    aligner = LongReadAligner(target_db, cfg, progress=progress)
+    aligner = LongReadAligner(target_db, cfg, progress=progress, mesh=mesh)
     raw = aligner.align_reads(piece_db)
 
     out = AlignmentSet()

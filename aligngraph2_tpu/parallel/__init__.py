@@ -1,6 +1,7 @@
 from .mesh import make_mesh
-from .sharded import (build_block_index, sharded_align_step,
-                      make_sharded_step)
+from .sharded import (BlockIndex, build_block_index, make_sharded_seeder,
+                      make_sharded_extender, put_sharded_index)
 
-__all__ = ["make_mesh", "build_block_index", "sharded_align_step",
-           "make_sharded_step"]
+__all__ = ["make_mesh", "BlockIndex", "build_block_index",
+           "make_sharded_seeder", "make_sharded_extender",
+           "put_sharded_index"]

@@ -83,10 +83,33 @@ def run_pipeline(read_path: str, ctg_path: str, genome_path: str,
     return _run(read_path, ctg_path, genome_path, out_dir, cfg, log)
 
 
+def _make_mesh(cfg: PipelineConfig):
+    """The production (data, block) mesh: all local devices, block axis
+    sized by cfg.runtime.block_parallel (auto when None).  None when a
+    single device is present (or sharding is explicitly off) — the
+    aligner then uses the host seeding + Pallas path."""
+    import jax
+    sharded = cfg.runtime.sharded_align
+    if sharded is None:
+        sharded = jax.local_device_count() > 1
+    if not sharded:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh(block_parallel=cfg.runtime.block_parallel,
+                     data_axis=cfg.runtime.data_axis,
+                     block_axis=cfg.runtime.block_axis)
+
+
 def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
          cfg: PipelineConfig, log) -> PipelineResult:
     t0 = time.time()
+    from ..parallel.distributed import init_distributed
+    init_distributed()
+    mesh = _make_mesh(cfg)
     stats: Dict[str, object] = {}
+    stats["sharded_align"] = mesh is not None
+    if mesh is not None:
+        stats["mesh"] = {n: int(s) for n, s in mesh.shape.items()}
     stage_s: Dict[str, float] = {}
     _mark_t = [t0]
 
@@ -149,7 +172,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     if not (c_cache.check(read_path, ctg_path)
             and c_cache.check_args(**aln_args)
             and os.path.exists(r2c_path)):
-        r2c = LongReadAligner(ctgs, cfg.aligner,
+        r2c = LongReadAligner(ctgs, cfg.aligner, mesh=mesh,
                               progress=cfg.runtime.progress
                               ).align_reads(reads)
         r2c.write_ref(r2c_path)
@@ -170,7 +193,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     if not (r_cache.check(read_path, genome_path)
             and r_cache.check_args(**aln_args)
             and os.path.exists(r2r_path)):
-        r2r = LongReadAligner(refs, cfg.aligner,
+        r2r = LongReadAligner(refs, cfg.aligner, mesh=mesh,
                               progress=cfg.runtime.progress
                               ).align_reads(reads)
         r2r.write_ref(r2r_path)
@@ -192,7 +215,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             and m_cache.check_args(**aln_args)
             and os.path.exists(c2r_path)):
         c2r = align_chunked(refs, ctgs, cfg.aligner,
-                            progress=cfg.runtime.progress)
+                            progress=cfg.runtime.progress, mesh=mesh)
         c2r.write_ref(c2r_path)
         m_cache.save(ctg_path, genome_path)
         m_cache.save_args(**aln_args)
@@ -360,7 +383,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
         else:
             all_db = SeqDatabase(include + add)
             merge_alns = LongReadAligner(
-                all_db, cfg.aligner,
+                all_db, cfg.aligner, mesh=mesh,
                 progress=cfg.runtime.progress).align_reads(reads)
             merge_alns.write_ref(merge_path)
             w_cache.save(read_path, all_path)

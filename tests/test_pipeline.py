@@ -112,9 +112,12 @@ def test_stage_cache_rerun_cascade(pipeline_run):
     read_path, ctg_path, ref_path = pipeline_run["paths"]
     out = str(pipeline_run["tmp"] / "out_cascade")
     msgs = []
-    run_pipeline(read_path, ctg_path, ref_path, out, small_cfg(),
+    cfg1 = small_cfg()
+    cfg1.runtime.sharded_align = False  # e2e-cover the host aligner too
+    run_pipeline(read_path, ctg_path, ref_path, out, cfg1,
                  log=msgs.append)
     cfg2 = small_cfg()
+    cfg2.runtime.sharded_align = False
     cfg2.aligner.delta = 0.45  # changes stage-3 ARGS -> r2r recomputed
     msgs2 = []
     res2 = run_pipeline(read_path, ctg_path, ref_path, out, cfg2,
@@ -140,6 +143,10 @@ def test_metrics_json_written(pipeline_run):
                                  "pagraph", "align_split", "correct"}
     assert m["stage_s"]["kmer"] >= 0
     assert m["n_reads"] == len(pipeline_run["ds"]["reads"])
+    # conftest forces an 8-virtual-device CPU mesh, so the e2e run above
+    # exercised the PRODUCTION sharded aligner (parallel/sharded.py)
+    assert m["sharded_align"] is True
+    assert m["mesh"] == {"data": 4, "block": 2}
 
 
 def test_profiler_trace_written(pipeline_run):
