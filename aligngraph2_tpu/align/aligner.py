@@ -188,18 +188,20 @@ class LongReadAligner:
         TB = 128
         B = ((len(batch) + TB - 1) // TB) * TB
         q = np.full((B, NQ), Q_SENTINEL, np.uint8)
+        qlen = np.zeros(B, np.int32)
         t_codes = []
         diags = []
         for b, (rid, cand, codes) in enumerate(batch):
             q[b, :len(codes)] = codes
+            qlen[b] = len(codes)
             t_codes.append(self.db.get_codes(cand.tid))
             diags.append(cand.diag)
         t_codes += [np.zeros(0, np.uint8)] * (B - len(batch))
         diags += [0] * (B - len(batch))
         t, starts = standard_frame_windows(t_codes, diags, NQ, W)
-        res = banded_align_pallas(q, t, W=W, match=cfg.match_score,
+        res = banded_align_pallas(q, t, qlen, W=W, match=cfg.match_score,
                                   mismatch=cfg.mismatch_score,
-                                  gap=cfg.gap_score)
+                                  gap=cfg.gap_score, x_drop=cfg.x_drop)
         # traceback_fast ≡ traceback_t output-wise but walks packed
         # 16-row direction words: one gather per DIAG run instead of one
         # per move (measured 31s -> 1.4s per 1024x8192 batch on one chip)
@@ -250,7 +252,8 @@ class LongReadAligner:
 
         res = banded_align(q, qlen, t, tlen, c0, W=W,
                            match=cfg.match_score,
-                           mismatch=cfg.mismatch_score, gap=cfg.gap_score)
+                           mismatch=cfg.mismatch_score, gap=cfg.gap_score,
+                           x_drop=cfg.x_drop)
         moves, nmoves, si, sj = traceback(res.dirs, res.centers,
                                           res.best_i, res.best_j,
                                           max_steps=NQ + NT)
@@ -318,8 +321,8 @@ class LongReadAligner:
             self._extenders[NQ] = make_sharded_extender(
                 self.mesh, W=cfg.band_width, match=cfg.match_score,
                 mismatch=cfg.mismatch_score, gap=cfg.gap_score,
-                max_steps=NQ + NT, data_axis=self._data_axis,
-                block_axis=self._block_axis)
+                x_drop=cfg.x_drop, max_steps=NQ + NT,
+                data_axis=self._data_axis, block_axis=self._block_axis)
         return self._extenders[NQ]
 
     def _align_reads_sharded(self, read_db: SeqDatabase,

@@ -43,9 +43,12 @@ class AlignerConfig:
     match_score: int = 2
     mismatch_score: int = -4
     gap_score: int = -3             # linear gap penalty
-    x_drop: int = 0                 # stop a lane once its running best drops
-                                    # more than this below the lane max
-                                    # (0 = full band, no x-drop)
+    x_drop: int = 250               # stop a lane once its row frontier
+                                    # drops more than this below its best
+                                    # (0 = full NQ rows, no early exit);
+                                    # 250 = ~83 consecutive gaps with no
+                                    # recovery — far beyond PacBio indel
+                                    # bursts, so real alignments never die
     min_aln_len: int = 200          # drop alignments shorter than this (bases)
     min_identity: float = 0.6       # identity floor for emitted alignments
     chunk_len: int = 10_000         # pseudo-read chunking for contig->ref

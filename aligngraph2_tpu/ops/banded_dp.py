@@ -104,18 +104,29 @@ def _row_kernel(carry, xs, *, W, match, mismatch, gap, ks_shifts):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("W", "match", "mismatch", "gap"))
+                   static_argnames=("W", "match", "mismatch", "gap",
+                                    "x_drop"))
 def banded_align(q, qlen, t, tlen, c0, *, W=256, match=2, mismatch=-4,
-                 gap=-3) -> BandedResult:
+                 gap=-3, x_drop=0) -> BandedResult:
     """Batched adaptive banded local alignment.
 
     q: (B, NQ) uint8 query codes (aligned strand), qlen: (B,)
     t: (B, NT) uint8 target window codes,           tlen: (B,)
     c0: (B,) int32 initial band center diagonal (t_pos - q_pos estimate,
         relative to the window start)
+    x_drop: > 0 enables early termination (the mecat-class extension
+        contract): a lane dies once its row frontier drops more than
+        x_drop below its best-so-far (after it has started scoring) or
+        its rows run past qlen; the whole batch stops when every lane is
+        dead.  0 = fixed NQ rows (bit-identical to the x_drop path for
+        lanes whose frontier never drops by x_drop).
     """
     B, NQ = q.shape
     ks_shifts = tuple(1 << s for s in range(int(np.log2(W))))
+    if x_drop > 0:
+        return _banded_align_xdrop(q, qlen, t, tlen, c0, W=W, match=match,
+                                   mismatch=mismatch, gap=gap,
+                                   x_drop=x_drop, ks_shifts=ks_shifts)
 
     def one(qb, qlenb, tb, tlenb, c0b):
         # initial row 0: score 0 at valid p, NEG elsewhere
@@ -139,6 +150,95 @@ def banded_align(q, qlen, t, tlen, c0, *, W=256, match=2, mismatch=-4,
 
     score, bi, bj, dirs, centers = jax.vmap(one)(q, qlen, t, tlen, c0)
     return BandedResult(score, bi, bj, dirs, centers)
+
+
+def _banded_align_xdrop(q, qlen, t, tlen, c0, *, W, match, mismatch, gap,
+                        x_drop, ks_shifts):
+    """x-drop variant: a batched while_loop over rows (no per-lane vmap,
+    so one all-lanes-dead test stops the whole batch early).  Row math is
+    the batched transcription of _row_kernel; dead lanes stop updating
+    state, so surviving lanes' results equal the x_drop=0 path."""
+    B, NQ = q.shape
+    NT = t.shape[1]
+    PADL = W + 2
+    t_pad = jnp.concatenate([
+        jnp.full((B, PADL), 255, jnp.uint8), t,
+        jnp.full((B, W + NQ + 2), 255, jnp.uint8)], axis=1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    c0 = c0.astype(jnp.int32)
+    p0 = c0[:, None] - W // 2 + j_idx
+    H0 = jnp.where((p0 >= 0) & (p0 <= tlen[:, None]), 0, NEG
+                   ).astype(jnp.int32)
+    q32 = q.astype(jnp.int32)
+    centers0 = jnp.zeros((B, NQ + 1), jnp.int32)
+    centers0 = centers0.at[:, 0].set(c0)
+
+    def cond(carry):
+        i, H, c, best, b_i, b_j, dirs, centers, alive = carry
+        return (i <= NQ) & jnp.any(alive)
+
+    def body(carry):
+        i, H, c, best, b_i, b_j, dirs, centers, alive = carry
+        row_max = jnp.max(H, axis=1)
+        drift = jnp.argmax(H, axis=1).astype(jnp.int32) - W // 2
+        dc = jnp.where(row_max > 0, jnp.clip(drift, -1, 1), 0)
+        c_new = jnp.clip(c + dc, -W, NT)
+        padded = jnp.concatenate([
+            jnp.full((B, 1), NEG, jnp.int32), H,
+            jnp.full((B, 2), NEG, jnp.int32)], axis=1)
+        diag_vals = jnp.take_along_axis(padded, dc[:, None] + 1 + j_idx,
+                                        axis=1)
+        up_vals = jnp.take_along_axis(padded, dc[:, None] + 2 + j_idx,
+                                      axis=1)
+        start = (i - 1) + c_new + (PADL - W // 2)
+        t_slice = jnp.take_along_axis(
+            t_pad, start[:, None] + j_idx, axis=1).astype(jnp.int32)
+        q_base = jnp.take_along_axis(q32, jnp.full((B, 1), i - 1,
+                                                   jnp.int32), axis=1)
+        sub = jnp.where(t_slice == q_base, match, mismatch)
+        d_v = diag_vals + sub
+        u_v = up_vals + gap
+        M = jnp.maximum(d_v, u_v)
+        m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.uint8)
+        m_dir = jnp.where(M > 0, m_dir, jnp.uint8(STOP))
+        M = jnp.maximum(M, 0)
+        Hn = M
+        for sh in ks_shifts:
+            shifted = jnp.concatenate([
+                jnp.full((B, sh), NEG, jnp.int32), Hn[:, :-sh]], axis=1)
+            Hn = jnp.maximum(Hn, shifted + gap * sh)
+        row_dirs = jnp.where(Hn > M, jnp.uint8(LEFT), m_dir)
+        p = i + c_new[:, None] - W // 2 + j_idx
+        ok = (p >= 0) & (p <= tlen[:, None]) & (i <= qlen[:, None])
+        Hn = jnp.where(ok, Hn, NEG)
+        row_dirs = jnp.where(ok, row_dirs, jnp.uint8(STOP))
+        # dead lanes freeze: state unchanged, dirs stay STOP
+        Hn = jnp.where(alive[:, None], Hn, H)
+        c_new = jnp.where(alive, c_new, c)
+        row_dirs = jnp.where(alive[:, None], row_dirs, jnp.uint8(STOP))
+        r_max = jnp.max(Hn, axis=1)
+        r_arg = jnp.argmax(Hn, axis=1).astype(jnp.int32)
+        upd = alive & (r_max > best)
+        best = jnp.where(upd, r_max, best)
+        b_i = jnp.where(upd, i, b_i)
+        b_j = jnp.where(upd, r_arg, b_j)
+        dirs = jax.lax.dynamic_update_slice(
+            dirs, row_dirs[:, None, :], (0, i - 1, 0))
+        centers = jax.lax.dynamic_update_slice(
+            centers, c_new[:, None], (0, i))
+        alive = alive & (i < qlen) \
+            & ((best == 0) | (r_max >= best - x_drop))
+        return i + 1, Hn, c_new, best, b_i, b_j, dirs, centers, alive
+
+    dirs0 = jnp.zeros((B, NQ, W), jnp.uint8)
+    carry = (jnp.int32(1), H0, c0, jnp.zeros(B, jnp.int32),
+             jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), dirs0,
+             centers0, jnp.ones(B, bool))
+    _, _, _, best, b_i, b_j, dirs, centers, _ = jax.lax.while_loop(
+        cond, body, carry)
+    return BandedResult(best, b_i, b_j, dirs, centers)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))

@@ -51,16 +51,24 @@ Q_SENTINEL = 254
 T_SENTINEL = 255
 
 
-def _dp_kernel(q_ref, slab_ref, best_ref, dirs_ref, H_scr, best_scr,
-               sub_scr, *, K, W, match, mismatch, gap, ks_shifts):
-    """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; best_ref (8, TB) i32;
-    dirs_ref (K, W, TB) u8; H_scr (W, TB) i32; best_scr (8, TB) i32;
-    sub_scr (K, W, TB) i8.
+def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, dirs_ref, H_scr,
+               best_scr, alive_scr, sub_scr, *, K, W, match, mismatch,
+               gap, ks_shifts, x_drop):
+    """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; qlen_ref (1, TB) i32;
+    best_ref (8, TB) i32; dirs_ref (K, W, TB) u8; H_scr (W, TB) i32;
+    best_scr (8, TB) i32; alive_scr (1, 1) i32 SMEM; sub_scr (K, W, TB) i8.
 
     Per-row dynamic indexing only touches LEADING dims of >=3-D refs
     (sub_scr reads, dirs_ref writes) — the tiled trailing dims see only
     static or whole-block accesses, which keeps Mosaic's tile-alignment
-    rules satisfied."""
+    rules satisfied.
+
+    x_drop > 0 adds tile-level early exit: once EVERY lane of the batch
+    tile is dead (its rows ran past qlen, or — after it started scoring —
+    its row frontier fell more than x_drop below its best), the remaining
+    row chunks skip both the DP and the dirs writes (the dominant HBM
+    traffic).  Skipped dirs rows are garbage, which is safe: traceback
+    starts at best_i, which cannot advance after death."""
     chunk = pl.program_id(1)
     TB = H_scr.shape[1]
 
@@ -68,52 +76,72 @@ def _dp_kernel(q_ref, slab_ref, best_ref, dirs_ref, H_scr, best_scr,
     def _init():
         H_scr[:] = jnp.zeros_like(H_scr)
         best_scr[:] = jnp.zeros_like(best_scr)
+        if x_drop > 0:
+            alive_scr[0, 0] = 1
 
-    # phase 1: substitution rows for the chunk (static sliding windows)
-    t_slab = slab_ref[0].astype(jnp.int32)        # (K + W, TB)
-    q_all = q_ref[:].astype(jnp.int32)            # (K, TB)
-    for r in range(K):
-        sub_scr[r, :, :] = jnp.where(
-            t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
-            mismatch).astype(jnp.int8)
+    def compute():
+        # phase 1: substitution rows (static sliding windows)
+        t_slab = slab_ref[0].astype(jnp.int32)        # (K + W, TB)
+        q_all = q_ref[:].astype(jnp.int32)            # (K, TB)
+        for r in range(K):
+            sub_scr[r, :, :] = jnp.where(
+                t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
+                mismatch).astype(jnp.int8)
 
-    row_idx8 = jax.lax.broadcasted_iota(jnp.int32, best_scr.shape, 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+        row_idx8 = jax.lax.broadcasted_iota(jnp.int32, best_scr.shape, 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
 
-    # phase 2: sequential DP rows
-    def row(r, carry):
-        H, best = carry
-        i = chunk * K + (r + 1)                   # global row index
-        sub = sub_scr[r, :, :].astype(jnp.int32)
-        up_vals = jnp.concatenate(
-            [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
-        d_v = H + sub
-        u_v = up_vals + gap
-        M = jnp.maximum(d_v, u_v)
-        m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.uint8)
-        m_dir = jnp.where(M > 0, m_dir, jnp.uint8(STOP))
-        M = jnp.maximum(M, 0)
-        H = M
-        for sh in ks_shifts:
-            shifted = jnp.concatenate(
-                [jnp.full((sh, TB), NEG, jnp.int32), H[:-sh, :]], axis=0)
-            H = jnp.maximum(H, shifted + gap * sh)
-        dirs_ref[r, :, :] = jnp.where(H > M, jnp.uint8(LEFT), m_dir)
-        # best tracking rows of (8, TB): 0 = score, 1 = i, 2 = j
-        r_max = jnp.max(H, axis=0, keepdims=True)              # (1, TB)
-        r_arg = jnp.min(jnp.where(H == r_max, j_idx, W), axis=0,
-                        keepdims=True)
-        upd = r_max > best[0:1, :]
-        cand = jnp.where(row_idx8 == 0, r_max,
-                         jnp.where(row_idx8 == 1,
-                                   jnp.full_like(r_max, i), r_arg))
-        best = jnp.where((row_idx8 <= 2) & upd, cand, best)
-        return H, best
+        # phase 2: sequential DP rows
+        def row(r, carry):
+            H, best = carry
+            i = chunk * K + (r + 1)                   # global row index
+            sub = sub_scr[r, :, :].astype(jnp.int32)
+            up_vals = jnp.concatenate(
+                [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
+            d_v = H + sub
+            u_v = up_vals + gap
+            M = jnp.maximum(d_v, u_v)
+            m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.uint8)
+            m_dir = jnp.where(M > 0, m_dir, jnp.uint8(STOP))
+            M = jnp.maximum(M, 0)
+            H = M
+            for sh in ks_shifts:
+                shifted = jnp.concatenate(
+                    [jnp.full((sh, TB), NEG, jnp.int32), H[:-sh, :]],
+                    axis=0)
+                H = jnp.maximum(H, shifted + gap * sh)
+            dirs_ref[r, :, :] = jnp.where(H > M, jnp.uint8(LEFT), m_dir)
+            # best tracking rows of (8, TB): 0 = score, 1 = i, 2 = j
+            r_max = jnp.max(H, axis=0, keepdims=True)          # (1, TB)
+            r_arg = jnp.min(jnp.where(H == r_max, j_idx, W), axis=0,
+                            keepdims=True)
+            upd = r_max > best[0:1, :]
+            cand = jnp.where(row_idx8 == 0, r_max,
+                             jnp.where(row_idx8 == 1,
+                                       jnp.full_like(r_max, i), r_arg))
+            best = jnp.where((row_idx8 <= 2) & upd, cand, best)
+            return H, best
 
-    H, best = jax.lax.fori_loop(0, K, row, (H_scr[:], best_scr[:]))
-    H_scr[:] = H
-    best_scr[:] = best
-    best_ref[:] = best
+        H, best = jax.lax.fori_loop(0, K, row, (H_scr[:], best_scr[:]))
+        H_scr[:] = H
+        best_scr[:] = best
+        if x_drop > 0:
+            # lane alive for the NEXT chunk: rows left before qlen, and
+            # (not started scoring yet) or (frontier within x_drop of best)
+            frontier = jnp.max(H, axis=0, keepdims=True)       # (1, TB)
+            qlen = qlen_ref[:]                                 # (1, TB)
+            next_i = (chunk + 1) * K + 1
+            lane_alive = (next_i <= qlen) & (
+                (best[0:1, :] == 0) | (frontier >= best[0:1, :] - x_drop))
+            alive_scr[0, 0] = jnp.any(lane_alive).astype(jnp.int32)
+
+    if x_drop > 0:
+        @pl.when(alive_scr[0, 0] == 1)
+        def _():
+            compute()
+    else:
+        compute()
+    best_ref[:] = best_scr[:]
 
 
 class PallasBandedResult(NamedTuple):
@@ -126,16 +154,20 @@ class PallasBandedResult(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "K", "TB", "match", "mismatch",
-                                    "gap", "interpret"))
-def banded_align_pallas(q, t, *, W=512, K=64, TB=128, match=2, mismatch=-4,
-                        gap=-3, interpret=False) -> PallasBandedResult:
+                                    "gap", "x_drop", "interpret"))
+def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
+                        mismatch=-4, gap=-3, x_drop=0,
+                        interpret=False) -> PallasBandedResult:
     """q: (B, NQ) uint8 padded with Q_SENTINEL beyond each query's length;
     t: (B, NQ + W) uint8 windows in the standard frame (seed diagonal at
-    W/2), padded with T_SENTINEL.  B % TB == 0 and NQ % K == 0 required
+    W/2), padded with T_SENTINEL; qlen: (B,) query lengths (required when
+    x_drop > 0; defaults to NQ).  B % TB == 0 and NQ % K == 0 required
     (callers bucket-pad)."""
     B, NQ = q.shape
     assert B % TB == 0 and NQ % K == 0, (B, TB, NQ, K)
     assert t.shape == (B, NQ + W)
+    if qlen is None:
+        qlen = jnp.full(B, NQ, jnp.int32)
     n_chunks = NQ // K
     qT = q.T                                      # (NQ, B)
     tT = t.T                                      # (NQ + W, B)
@@ -146,7 +178,7 @@ def banded_align_pallas(q, t, *, W=512, K=64, TB=128, match=2, mismatch=-4,
     ks_shifts = tuple(1 << s for s in range(int(np.log2(W))))
     kernel = functools.partial(_dp_kernel, K=K, W=W, match=match,
                                mismatch=mismatch, gap=gap,
-                               ks_shifts=ks_shifts)
+                               ks_shifts=ks_shifts, x_drop=x_drop)
     grid = (B // TB, n_chunks)
     best, dirs_t = pl.pallas_call(
         kernel,
@@ -155,6 +187,8 @@ def banded_align_pallas(q, t, *, W=512, K=64, TB=128, match=2, mismatch=-4,
             pl.BlockSpec((K, TB), lambda b, i: (i, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K + W, TB), lambda b, i: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda b, i: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -170,13 +204,14 @@ def banded_align_pallas(q, t, *, W=512, K=64, TB=128, match=2, mismatch=-4,
         scratch_shapes=[
             pltpu.VMEM((W, TB), jnp.int32),
             pltpu.VMEM((8, TB), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
             pltpu.VMEM((K, W, TB), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qT, slabs)
+    )(qT, slabs, qlen.astype(jnp.int32)[None, :])
     return PallasBandedResult(best[0], best[1], best[2], dirs_t, W)
 
 

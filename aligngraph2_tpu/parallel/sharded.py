@@ -279,10 +279,10 @@ def make_sharded_seeder(mesh, *, k, BL, bin_w, min_hits, occ=4,
 # EXTEND step (device)
 
 
-def _extend_body(q, qlen, t, tlen, c0, *, W, match, mismatch, gap,
+def _extend_body(q, qlen, t, tlen, c0, *, W, match, mismatch, gap, x_drop,
                  max_steps):
     res = banded_align(q, qlen, t, tlen, c0, W=W, match=match,
-                       mismatch=mismatch, gap=gap)
+                       mismatch=mismatch, gap=gap, x_drop=x_drop)
     moves, nmoves, si, sj = traceback(res.dirs, res.centers, res.best_i,
                                       res.best_j, max_steps=max_steps)
     # start column -> window coordinate (needs the per-row band centers,
@@ -294,13 +294,13 @@ def _extend_body(q, qlen, t, tlen, c0, *, W, match, mismatch, gap,
 
 
 def make_sharded_extender(mesh, *, W, match=2, mismatch=-4, gap=-3,
-                          max_steps, data_axis="data",
+                          x_drop=0, max_steps, data_axis="data",
                           block_axis="block"):
     """jit(shard_map(extend step)) with lanes sharded over ALL devices
     (the lane dim is pure data parallelism — both mesh axes serve it)."""
     lanes = (data_axis, block_axis)
     body = functools.partial(_extend_body, W=W, match=match,
-                             mismatch=mismatch, gap=gap,
+                             mismatch=mismatch, gap=gap, x_drop=x_drop,
                              max_steps=max_steps)
     fn = jax.shard_map(
         body, mesh=mesh,

@@ -132,11 +132,60 @@ def _cpu_baseline(B=4, NQ=2048, W=256, iters=3):
     return B * NQ * W / dt
 
 
+def verify_pallas_on_hardware(B=128, NQ=1024, W=256, seed=7):
+    """Hardware correctness gate: the COMPILED Pallas kernel (+ fast
+    traceback) must equal the lax.scan path on random planted lanes.
+    All pre-existing Pallas tests run interpret=True on CPU; this is the
+    only place the Mosaic-compiled kernel is checked, so a miscompile
+    fails the BENCH run loudly instead of shipping silently."""
+    import jax
+    from aligngraph2_tpu.ops.banded_dp import banded_align, traceback
+    from aligngraph2_tpu.ops.banded_pallas import (
+        banded_align_pallas, traceback_fast, Q_SENTINEL, T_SENTINEL)
+
+    rng = np.random.default_rng(seed)
+    q = np.full((B, NQ), Q_SENTINEL, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    t = np.full((B, NQ + W), T_SENTINEL, np.uint8)
+    for b in range(B):
+        n = int(rng.integers(NQ // 2, NQ + 1))
+        base = rng.integers(0, 4, NQ + W).astype(np.uint8)
+        t[b] = base
+        piece = base[W // 2:W // 2 + n].copy()
+        noise = rng.random(n) < 0.1
+        piece[noise] = rng.integers(0, 4, n)[noise].astype(np.uint8)
+        q[b, :n] = piece
+        qlen[b] = n
+    for x_drop in (0, 250):
+        res = banded_align_pallas(jax.device_put(q), jax.device_put(t),
+                                  jax.device_put(qlen), W=W,
+                                  x_drop=x_drop)
+        moves, nmoves, si, sj = traceback_fast(
+            res.dirs_t, res.best_i, res.best_j, max_steps=2 * NQ, W=W)
+        scan = banded_align(q, qlen, t.copy(), np.full(B, NQ + W, np.int32),
+                            np.full(B, W // 2, np.int32), W=W)
+        s_moves, s_n, s_si, s_sj = traceback(
+            scan.dirs, scan.centers, scan.best_i, scan.best_j,
+            max_steps=2 * NQ)
+        assert np.array_equal(np.asarray(res.score), np.asarray(scan.score)), \
+            f"pallas(x_drop={x_drop}) scores != scan"
+        assert np.array_equal(np.asarray(res.best_i),
+                              np.asarray(scan.best_i)), \
+            f"pallas(x_drop={x_drop}) best_i != scan"
+        assert np.array_equal(np.asarray(nmoves), np.asarray(s_n)), \
+            f"pallas(x_drop={x_drop}) move counts != scan"
+        assert np.array_equal(np.asarray(si), np.asarray(s_si)), \
+            f"pallas(x_drop={x_drop}) start rows != scan"
+    print(f"pallas hardware parity: ok ({B} lanes, x_drop 0/250)",
+          flush=True)
+
+
 def main():
     import jax
 
     tpu_devs = [d for d in jax.devices() if d.platform != "cpu"]
     if tpu_devs:
+        verify_pallas_on_hardware()
         rate = measure_pallas(B=1024, NQ=8192, W=512, iters=5)
     else:
         rate = measure(jax.devices()[0], B=16, NQ=2048, W=256, iters=3)

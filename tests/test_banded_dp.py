@@ -137,3 +137,63 @@ def test_large_deletion_within_default_band(rng):
     t = encode_seq(g)
     res = run_pair(q, t, W=256, c0=200)
     assert int(res.score[0]) > 1.8 * 1800
+
+
+def test_xdrop_matches_full_for_surviving_lanes(rng):
+    """Planted alignments never drop x_drop below their best, so the
+    x-drop path must return exactly the full-path results."""
+    W = 64
+    NQ = 256
+    B = 8
+    genome = encode_seq(random_genome(rng, 4096))
+    q = np.zeros((B, NQ), np.uint8)
+    t = np.zeros((B, NQ + 2 * W), np.uint8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.full(B, NQ + 2 * W, np.int32)
+    c0 = np.full(B, W, np.int32)
+    for b in range(B):
+        n = int(rng.integers(NQ // 2, NQ + 1))
+        s = int(rng.integers(W, len(genome) - NQ - 2 * W))
+        piece = genome[s:s + n].copy()
+        noise = rng.random(n) < 0.08
+        piece[noise] = rng.integers(0, 4, n)[noise].astype(np.uint8)
+        q[b, :n] = piece
+        qlen[b] = n
+        t[b] = genome[s - W:s + NQ + W]
+    full = banded_align(q, qlen, t, tlen, c0, W=W)
+    xd = banded_align(q, qlen, t, tlen, c0, W=W, x_drop=250)
+    np.testing.assert_array_equal(np.asarray(xd.score),
+                                  np.asarray(full.score))
+    np.testing.assert_array_equal(np.asarray(xd.best_i),
+                                  np.asarray(full.best_i))
+    np.testing.assert_array_equal(np.asarray(xd.best_j),
+                                  np.asarray(full.best_j))
+    # traceback over the x-drop dirs reconstructs the same alignments
+    mf, nf, sif, sjf = traceback(full.dirs, full.centers, full.best_i,
+                                 full.best_j, max_steps=NQ + NQ + 2 * W)
+    mx, nx, six, sjx = traceback(xd.dirs, xd.centers, xd.best_i,
+                                 xd.best_j, max_steps=NQ + NQ + 2 * W)
+    np.testing.assert_array_equal(np.asarray(nx), np.asarray(nf))
+    np.testing.assert_array_equal(np.asarray(six), np.asarray(sif))
+
+
+def test_xdrop_kills_noise_lane_early_and_keeps_prefix_best(rng):
+    """A lane whose alignment ends mid-read must report the score it had
+    at its peak, identical to the full path (x-drop only skips the
+    hopeless tail)."""
+    W = 64
+    NQ = 512
+    genome = encode_seq(random_genome(rng, 2048))
+    # query: first 150 bases match the target, rest is unrelated noise
+    q = np.zeros((1, NQ), np.uint8)
+    s = 300
+    q[0, :150] = genome[s:s + 150]
+    q[0, 150:] = rng.integers(0, 4, NQ - 150).astype(np.uint8)
+    t = genome[s - W:s - W + NQ + 2 * W][None, :].copy()
+    qlen = np.array([NQ], np.int32)
+    tlen = np.array([NQ + 2 * W], np.int32)
+    c0 = np.array([W], np.int32)
+    full = banded_align(q, qlen, t, tlen, c0, W=W)
+    xd = banded_align(q, qlen, t, tlen, c0, W=W, x_drop=100)
+    assert int(xd.score[0]) == int(full.score[0]) == 300
+    assert int(xd.best_i[0]) == int(full.best_i[0]) == 150

@@ -131,3 +131,68 @@ def test_traceback_fast_matches_traceback_t(rng):
         # apply the same move deltas to the same emitted prefix
         assert np.array_equal(np.asarray(i1), i2), ms
         assert np.array_equal(np.asarray(j1), j2), ms
+
+
+def test_xdrop_matches_full_kernel(rng):
+    """With x_drop on, surviving lanes must be bit-identical to the
+    x_drop=0 kernel (interpret mode; the on-hardware gate lives in
+    bench.py)."""
+    NQ, W = 256, 128
+    qs, ts, diags = [], [], []
+    for _ in range(8):
+        g = encode_seq(random_genome(rng, 800))
+        start = int(rng.integers(0, 400))
+        ln = int(rng.integers(120, 256))
+        read = mutate(rng, decode_seq(g[start:start + ln]),
+                      sub=0.05, ins=0.02, dele=0.02)
+        qs.append(encode_seq(read))
+        ts.append(g)
+        diags.append(start)
+    B, TB, K = 8, 8, 32
+    q = np.full((B, NQ), Q_SENTINEL, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    for i, qq in enumerate(qs):
+        q[i, :len(qq)] = qq
+        qlen[i] = len(qq)
+    t, starts = standard_frame_windows(list(ts), list(diags), NQ, W)
+    full = banded_align_pallas(q, t, qlen, W=W, K=K, TB=TB,
+                               interpret=True)
+    xd = banded_align_pallas(q, t, qlen, W=W, K=K, TB=TB, x_drop=250,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(xd.score),
+                                  np.asarray(full.score))
+    np.testing.assert_array_equal(np.asarray(xd.best_i),
+                                  np.asarray(full.best_i))
+    np.testing.assert_array_equal(np.asarray(xd.best_j),
+                                  np.asarray(full.best_j))
+    # traceback over the x-drop dirs gives the same moves: rows at or
+    # below each lane's best_i are always written before tile death
+    mf, nf, sif, sjf = traceback_t(full.dirs_t, full.best_i, full.best_j,
+                                   max_steps=2 * NQ, W=W)
+    mx, nx, six, sjx = traceback_t(xd.dirs_t, xd.best_i, xd.best_j,
+                                   max_steps=2 * NQ, W=W)
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(mf))
+    np.testing.assert_array_equal(np.asarray(six), np.asarray(sif))
+
+
+def test_xdrop_short_reads_stop_early(rng):
+    """All-short-reads tile: the kernel must still produce correct scores
+    (the skipped chunks' dirs are never read)."""
+    NQ, W, K, TB = 256, 128, 32, 8
+    g = encode_seq(random_genome(rng, 600))
+    B = 8
+    q = np.full((B, NQ), Q_SENTINEL, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    ts, diags = [], []
+    for b in range(B):
+        ln = 64  # a quarter of NQ: 3/4 of the chunks are dead weight
+        start = 100 + 10 * b
+        q[b, :ln] = g[start:start + ln]
+        qlen[b] = ln
+        ts.append(g)
+        diags.append(start)
+    t, _ = standard_frame_windows(ts, diags, NQ, W)
+    xd = banded_align_pallas(q, t, qlen, W=W, K=K, TB=TB, x_drop=100,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(xd.score), np.full(B, 128))
+    np.testing.assert_array_equal(np.asarray(xd.best_i), np.full(B, 64))
