@@ -18,7 +18,10 @@ from typing import Optional
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "poacns.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libpoacns.so")
+# ALIGNGRAPH2_TPU_NATIVE_DIR points the loader at alternate builds
+# (e.g. the sanitizer-instrumented .so files of tests/test_sanitizers.py)
+_SO = os.path.join(os.environ.get("ALIGNGRAPH2_TPU_NATIVE_DIR")
+                   or _NATIVE_DIR, "libpoacns.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -20,6 +20,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <memory>
+#include <mutex>
+#include <thread>
 #include <unordered_set>
 #include <vector>
 
@@ -136,11 +139,22 @@ struct PosTable {
 };
 
 struct Level {
-    std::vector<int64_t> stamp;
-    int64_t epoch = 0;
+    // int32 stamps halve the footprint (workspaces are replicated per
+    // walk thread); the epoch wrap is handled by a full clear.
+    std::vector<int32_t> stamp;
+    int32_t epoch = 0;
     PosTable table;
-    void init(int64_t n_pos) { stamp.assign((size_t)n_pos, 0); }
-    void new_epoch() { ++epoch; table.reset(); }
+    void init(int64_t n_pos) {
+        if ((int64_t)stamp.size() != n_pos) stamp.assign((size_t)n_pos, 0);
+    }
+    void new_epoch() {
+        if (epoch == INT32_MAX) {
+            std::fill(stamp.begin(), stamp.end(), 0);
+            epoch = 0;
+        }
+        ++epoch;
+        table.reset();
+    }
     void add(int64_t pi) { stamp[(size_t)pi] = epoch; }
     bool member(int64_t pi) const { return stamp[(size_t)pi] == epoch; }
 };
@@ -148,6 +162,14 @@ struct Level {
 struct Cand {
     int64_t node, pos, step;
     int grade;
+};
+
+// Per-concurrent-travel mutable state.  ``tls``/``wls`` hold one
+// travel/walk level pair per walk thread (the reference's <= top_k
+// parallel seed walks, PAlgorithm.cpp:230, each with disjoint levels).
+struct Workspace {
+    Level gl;
+    std::vector<Level> tls, wls;
 };
 
 struct Handle {
@@ -166,8 +188,29 @@ struct Handle {
     // params
     int64_t deviation = 0, min_len = 0, top_k = 8;
     double error_rate = 0.0, start_split = 0.0;
-    // levels (fixed nesting: global / travel / walk)
-    Level gl, tl, wl;
+    int walk_threads = 1;
+    // workspace pool: agt_travel is re-entrant (the per-contig travel
+    // loop runs threadNum/8-wide in Python, PAssembly.cpp:30 semantics)
+    std::mutex ws_mu;
+    std::vector<std::unique_ptr<Workspace>> ws_pool;
+
+    Workspace* acquire() {
+        std::lock_guard<std::mutex> g(ws_mu);
+        if (!ws_pool.empty()) {
+            Workspace* w = ws_pool.back().release();
+            ws_pool.pop_back();
+            return w;
+        }
+        Workspace* w = new Workspace();
+        w->gl.init(n_pos);
+        w->tls.resize((size_t)std::max(walk_threads, 1));
+        w->wls.resize((size_t)std::max(walk_threads, 1));
+        return w;
+    }
+    void release(Workspace* w) {
+        std::lock_guard<std::mutex> g(ws_mu);
+        ws_pool.emplace_back(w);
+    }
 };
 
 // classify_successors (walk.py:113-175) fused with graph.successors
@@ -247,13 +290,13 @@ void classify_successors(Handle* h, int64_t node, int64_t pos_idx,
     out.swap(sel);
 }
 
-int walk_straight(Handle* h, Step start, std::vector<Step>& path,
+int walk_straight(Handle* h, Level* gl, Level* tl, Level* wl, Step start,
+                  std::vector<Step>& path,
                   int64_t ctg_left, int64_t ctg_right, int64_t has_size,
                   int64_t split_size, double split_min,
                   const int64_t* rev_range) {
-    Level* wl = &h->wl;
     wl->new_epoch();
-    const Level* levels[3] = {&h->gl, &h->tl, wl};
+    const Level* levels[3] = {gl, tl, wl};
     int64_t now_size = start.dist;
     path.push_back(start);
     int64_t pc = (int64_t)h->pos_ctg[start.pos];
@@ -278,20 +321,20 @@ int walk_straight(Handle* h, Step start, std::vector<Step>& path,
     }
 }
 
-void graph_travel(Handle* h, int64_t start_node, int64_t start_pos,
+void graph_travel(Handle* h, Level* gl, Level* tl, Level* wl,
+                  int64_t start_node, int64_t start_pos,
                   int64_t ctg_left, int64_t ctg_right, int64_t has_size,
                   int64_t split_size, double split_min,
                   const int64_t* rev_range, std::vector<Step>& seq) {
     seq.clear();
-    Level* tl = &h->tl;
     tl->new_epoch();
-    const Level* levels[2] = {&h->gl, tl};
+    const Level* levels[2] = {gl, tl};
     int64_t now_size = h->k;
     Step chosen{start_node, start_pos, h->k};
     tl->table.insert((int64_t)h->pos_ctg[start_pos]);
 
     std::vector<std::vector<Step>> paths(1);
-    walk_straight(h, chosen, paths[0], ctg_left, ctg_right,
+    walk_straight(h, gl, tl, wl, chosen, paths[0], ctg_left, ctg_right,
                   has_size + now_size, split_size, split_min, rev_range);
     size_t chosen_idx = 0;
     std::vector<Cand> succ;
@@ -315,8 +358,9 @@ void graph_travel(Handle* h, int64_t start_node, int64_t start_pos,
         std::vector<std::vector<Step>> new_paths(succ.size());
         for (size_t i = 0; i < succ.size(); ++i) {
             Step s{succ[i].node, succ[i].pos, succ[i].step};
-            int status = walk_straight(h, s, new_paths[i], ctg_left,
-                                       ctg_right, has_size + now_size,
+            int status = walk_straight(h, gl, tl, wl, s, new_paths[i],
+                                       ctg_left, ctg_right,
+                                       has_size + now_size,
                                        split_size, split_min, rev_range);
             if (status == LEAP) leap_l.push_back({i, new_paths[i].size()});
             else if (status == END) tips_l.push_back({i, new_paths[i].size()});
@@ -458,7 +502,7 @@ void* agt_create(
     int64_t ctg_n, const int64_t* ctg_lengths, const int64_t* ctg_starts,
     int64_t ref_n, const int64_t* ref_lengths, const int64_t* ref_starts,
     int64_t deviation, double error_rate, double start_split,
-    int64_t min_len, int64_t top_k) {
+    int64_t min_len, int64_t top_k, int64_t walk_threads) {
     Handle* h = new Handle();
     h->n_nodes = n_nodes;
     h->n_pos = n_pos;
@@ -479,9 +523,10 @@ void* agt_create(
     h->start_split = start_split;
     h->min_len = min_len;
     h->top_k = top_k;
-    h->gl.init(n_pos);
-    h->tl.init(n_pos);
-    h->wl.init(n_pos);
+    if (walk_threads <= 0)
+        walk_threads = (int64_t)std::thread::hardware_concurrency();
+    h->walk_threads =
+        (int)std::max((int64_t)1, std::min(walk_threads, top_k));
     return h;
 }
 
@@ -496,7 +541,10 @@ int64_t agt_travel(void* hp, int64_t ctg_idx, int forward,
                    int64_t** out_nodes, int64_t** out_pos,
                    int64_t** out_dist) {
     Handle* h = (Handle*)hp;
-    h->gl.new_epoch();
+    Workspace* ws = h->acquire();
+    Level* gl = &ws->gl;
+    gl->init(h->n_pos);
+    gl->new_epoch();
     int64_t chosen_signed = forward ? (ctg_idx + 1) : -(ctg_idx + 1);
     int64_t split_len = (int64_t)((double)ctg_len * h->start_split);
     double split_min = 1.0 - h->start_split;
@@ -521,10 +569,31 @@ int64_t agt_travel(void* hp, int64_t ctg_idx, int forward,
 
     while (!pa_nodes.empty()) {
         std::vector<std::vector<Step>> seqs(pa_nodes.size());
-        for (size_t i = 0; i < pa_nodes.size(); ++i)
-            graph_travel(h, pa_nodes[i].first, pa_nodes[i].second,
-                         ctg_left, ctg_right, var_len, split_len,
-                         split_min, rev_range, seqs[i]);
+        // the <= top_k seed walks run in parallel (PAlgorithm.cpp:230);
+        // each walk thread owns its travel/walk levels, gl is read-only
+        // during walks, and the selection below consumes seqs in index
+        // order — results are bit-identical to the serial loop
+        int T = (int)std::min((size_t)h->walk_threads, pa_nodes.size());
+        auto walk_range = [&](int t) {
+            Level* tl = &ws->tls[(size_t)t];
+            Level* wl = &ws->wls[(size_t)t];
+            tl->init(h->n_pos);
+            wl->init(h->n_pos);
+            for (size_t i = (size_t)t; i < pa_nodes.size(); i += (size_t)T)
+                graph_travel(h, gl, tl, wl, pa_nodes[i].first,
+                             pa_nodes[i].second, ctg_left, ctg_right,
+                             var_len, split_len, split_min, rev_range,
+                             seqs[i]);
+        };
+        if (T > 1) {
+            std::vector<std::thread> pool;
+            pool.reserve((size_t)T);
+            for (int t = 0; t < T; ++t)
+                pool.emplace_back(walk_range, t);
+            for (auto& th : pool) th.join();
+        } else {
+            walk_range(0);
+        }
         std::vector<Step> longest;
         int64_t max_len = 0, choose_ctg = 0, choose_ref = 0;
         bool leap = false;
@@ -564,8 +633,8 @@ int64_t agt_travel(void* hp, int64_t ctg_idx, int forward,
                               ref_que.end() - 4);
         }
         for (const Step& p : longest) {
-            h->gl.add(p.pos);
-            h->gl.table.insert((int64_t)h->pos_ctg[p.pos]);
+            gl->add(p.pos);
+            gl->table.insert((int64_t)h->pos_ctg[p.pos]);
         }
         auto spread = [&](const std::vector<int64_t>& q) {
             if (q.size() < 4) return false;
@@ -599,7 +668,7 @@ int64_t agt_travel(void* hp, int64_t ctg_idx, int forward,
         // drop already-visited, rank by kmer edit distance (stable)
         std::vector<std::pair<int64_t, int64_t>> filt;
         for (auto& p : pa_nodes)
-            if (!h->gl.member(p.second)) filt.push_back(p);
+            if (!gl->member(p.second)) filt.push_back(p);
         std::vector<int64_t> ed(filt.size());
         if (last_kmer_node >= 0)
             code_to_digits(h->node_codes[last_kmer_node], h->k,
@@ -631,6 +700,7 @@ int64_t agt_travel(void* hp, int64_t ctg_idx, int forward,
             travel.pop_back();
     }
 
+    h->release(ws);
     int64_t n = (int64_t)travel.size();
     *out_nodes = (int64_t*)std::malloc(sizeof(int64_t) * std::max(n, (int64_t)1));
     *out_pos = (int64_t*)std::malloc(sizeof(int64_t) * std::max(n, (int64_t)1));

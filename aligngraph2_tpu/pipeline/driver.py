@@ -321,7 +321,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             deviation=cfg.graph.epsilon * 2,
             error_rate=cfg.graph.error_rate,
             start_split=cfg.graph.start_split, min_len=cfg.graph.min_len,
-            top_k=cfg.graph.travel_top_k)
+            top_k=cfg.graph.travel_top_k, threads=cfg.runtime.threads)
         res = assemble_group(st, group.contigs, gdir, f"{gi}_")
         all_success |= res.success
         connections.extend(res.connections)

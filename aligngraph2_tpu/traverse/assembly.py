@@ -90,10 +90,29 @@ def assemble_group(st: TravelState, ctg_set: List[Tuple[str, bool]],
     res = AssemblyResult()
 
     # --- travel every (contig, orientation) of the group ---
-    for name, fwd in ctg_set:
-        cid = ctgs.seq_id(name)
+    # travels are independent (each owns its levels; graph arrays are
+    # read-only) and run in parallel like the reference's threadNum/8-wide
+    # loop (PAssembly.cpp:30); the first travel runs alone to warm the
+    # native handle, and results are consumed in ctg_set order so the
+    # outcome is bit-identical to the serial loop
+    items = [(name, fwd, ctgs.seq_id(name)) for name, fwd in ctg_set]
+    travels: List[Travel] = []
+    if items:
+        travels.append(travel_sequence(st, items[0][2], items[0][1]))
+    if len(items) > 1:
+        t_threads = st.threads if st.threads > 0 else (os.cpu_count() or 1)
+        t_threads = max(1, min(t_threads // 8 + 1, len(items) - 1))
+        if t_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(t_threads) as ex:
+                travels.extend(ex.map(
+                    lambda it: travel_sequence(st, it[2], it[1]),
+                    items[1:]))
+        else:
+            travels.extend(travel_sequence(st, it[2], it[1])
+                           for it in items[1:])
+    for (name, fwd, cid), travel in zip(items, travels):
         slot = _slot(cid, fwd)
-        travel = travel_sequence(st, cid, fwd)
         if out_dir:
             _dump_travel(st, out_dir, prefix, cid, fwd, travel, name)
         if seq_size(travel) < ctgs.size(cid) * st.start_split * 0.9:

@@ -19,7 +19,10 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "traverse.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libtraverse.so")
+# ALIGNGRAPH2_TPU_NATIVE_DIR points the loader at alternate builds
+# (e.g. the sanitizer-instrumented .so files of tests/test_sanitizers.py)
+_SO = os.path.join(os.environ.get("ALIGNGRAPH2_TPU_NATIVE_DIR")
+                   or _NATIVE_DIR, "libtraverse.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -62,7 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _pi64, _pi64, _pu64, _pu64, _pi64, _pu8, _pi64, _pi64, _pi64,
             _i64, _pi64, _pi64,
             _i64, _pi64, _pi64,
-            _i64, ctypes.c_double, ctypes.c_double, _i64, _i64,
+            _i64, ctypes.c_double, ctypes.c_double, _i64, _i64, _i64,
         ]
         lib.agt_destroy.argtypes = [ctypes.c_void_p]
         lib.agt_travel.restype = _i64
@@ -114,7 +117,7 @@ class NativeTraverser:
             len(st.ref_mapper.lengths), ptr(k[11], _pi64),
             ptr(k[12], _pi64),
             st.deviation, st.error_rate, st.start_split, st.min_len,
-            st.top_k)
+            st.top_k, getattr(st, "threads", 0))
         if not self._h:
             raise RuntimeError("agt_create failed")
 

@@ -59,6 +59,10 @@ class TravelState:
     start_split: float
     min_len: int
     top_k: int = 8
+    threads: int = 0     # walk/travel parallelism (0 = hardware auto);
+                         # the reference runs <= top_k seed walks and
+                         # threadNum/8 contig travels in parallel
+                         # (PAlgorithm.cpp:230, PAssembly.cpp:30)
     log: Callable = field(default=lambda *a, **k: None)
 
     def pos(self, pos_idx: int) -> Tuple[int, int]:

@@ -66,3 +66,41 @@ def test_native_travel_repeatable():
     t1 = travel_sequence(st, 0, True)
     t2 = travel_sequence(st, 0, True)
     assert t1 == t2 and len(t1) > 10
+
+
+def test_threaded_travel_bit_identical_to_serial():
+    """The <= top_k parallel seed walks (per-thread levels) and the
+    threaded per-contig travel loop must be bit-identical to serial
+    (walks are independent; selection consumes results in index order)."""
+    import dataclasses
+    from aligngraph2_tpu.traverse.assembly import assemble_group
+    st1 = _build_state(9)            # threads=0 -> hardware auto
+    st1 = dataclasses.replace(st1, threads=8)
+    st2 = _build_state(9)
+    st2 = dataclasses.replace(st2, threads=1)
+    for cid in range(len(st1.ctgs)):
+        for fwd in (True, False):
+            t_par = travel_sequence(st1, cid, fwd)
+            t_ser = travel_sequence(st2, cid, fwd)
+            assert t_par == t_ser, f"ctg={cid} fwd={fwd}"
+    # whole-group assembly equal too (threaded travel loop)
+    group = [(f"ctg{i}", True) for i in range(len(st1.ctgs))]
+    r_par = assemble_group(st1, group, None, "p_")
+    r_ser = assemble_group(st2, group, None, "p_")
+    assert r_par.success == r_ser.success
+    assert [c["sequence"] for c in r_par.connections] \
+        == [c["sequence"] for c in r_ser.connections]
+
+
+def test_concurrent_agt_travel_reentrant():
+    """agt_travel must be safe to call from many Python threads at once
+    (workspace pool): same results as serial, no crashes."""
+    from concurrent.futures import ThreadPoolExecutor
+    st = _build_state(33)
+    jobs = [(cid, fwd) for cid in range(len(st.ctgs))
+            for fwd in (True, False)] * 3
+    serial = {j: travel_sequence(st, *j) for j in set(jobs)}
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(lambda j: (j, travel_sequence(st, *j)), jobs))
+    for j, tr in results:
+        assert tr == serial[j], j
