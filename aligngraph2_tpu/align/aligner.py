@@ -106,12 +106,18 @@ class LongReadAligner:
                 codes = codes_f if cand.forward else revcomp_codes(codes_f)
                 jobs.append((rid, cand, codes))
 
-        # phase 2: banded extension, batched by length bucket
+        # phase 2: banded extension, batched by length bucket.  The
+        # pallas batches are software-pipelined: while the device runs
+        # batch i, the host prepares batch i+1 (padding, window gather)
+        # and only then drains batch i's traceback expansion + emission —
+        # host work and device work overlap instead of strictly
+        # alternating (SURVEY.md §2.6 pipeline row).
         jobs.sort(key=lambda j: len(j[2]))
         out = AlignmentSet()
         best_per_read: dict[int, int] = {}
         from ..utils.timing import Progress
         bar = Progress(len(jobs), enabled=self.progress)
+        batches = []
         i = 0
         while i < len(jobs):
             NQ = _bucket(len(jobs[i][2]))
@@ -122,13 +128,30 @@ class LongReadAligner:
                     and _bucket(len(jobs[i][2])) == NQ:
                 batch.append(jobs[i])
                 i += 1
+            batches.append((NQ, pallas_ok, batch))
+
+        pending = None  # (handles, prep) of the in-flight pallas batch
+        for NQ, pallas_ok, batch in batches:
             if pallas_ok:
-                self._extend_batch_pallas(read_db, batch, NQ, out,
-                                          best_per_read)
+                prep = self._prep_pallas(batch, NQ)
+                handles = self._dispatch_pallas(prep)
+                if pending is not None:
+                    self._finish_pallas(read_db, *pending, out,
+                                        best_per_read)
+                    bar.update(len(pending[1][0]))
+                pending = (handles, prep)
             else:
+                if pending is not None:
+                    self._finish_pallas(read_db, *pending, out,
+                                        best_per_read)
+                    bar.update(len(pending[1][0]))
+                    pending = None
                 self._extend_batch(read_db, batch, NQ, NQ + 2 * W, out,
                                    best_per_read)
-            bar.update(len(batch))
+                bar.update(len(batch))
+        if pending is not None:
+            self._finish_pallas(read_db, *pending, out, best_per_read)
+            bar.update(len(pending[1][0]))
 
         # delta filter: drop alignments scoring < delta * read best
         # (recovered mecat2ref+ '-y delta' semantics, see seedextend.py)
@@ -141,11 +164,13 @@ class LongReadAligner:
 
     def _batch_size(self, NQ: int, pallas: bool) -> int:
         if pallas:
-            # bound the dirs stream to ~4 GB; big batches amortize the
-            # latency-bound traceback steps across lanes (measured: B=1024
-            # is ~25% faster per cell than B=512 on one chip)
+            # bound the dirs stream to ~1.5 GB per batch: software
+            # pipelining keeps TWO batches in flight (dirs + packed
+            # traceback words + XLA temps each), and the chip budget is
+            # ~16 GB HBM; big batches amortize the latency-bound
+            # traceback steps across lanes, so stay as large as fits
             W = max(self.cfg.band_width, 256)
-            b = (4 << 30) // (NQ * W)
+            b = (3 << 29) // (NQ * W)
             return int(np.clip(b // 128 * 128, 128, 1024))
         return max(1, min(64, (64 << 20) // (NQ * self.cfg.band_width)))
 
@@ -177,12 +202,9 @@ class LongReadAligner:
         if score > best_per_read.get(a.query_name, 0):
             best_per_read[a.query_name] = score
 
-    def _extend_batch_pallas(self, read_db: SeqDatabase, batch, NQ,
-                             out: AlignmentSet, best_per_read) -> None:
-        """Pallas fast path: static band in the standard frame."""
-        from ..ops.banded_pallas import (Q_SENTINEL, banded_align_pallas,
-                                         standard_frame_windows,
-                                         traceback_fast)
+    def _prep_pallas(self, batch, NQ):
+        """Host stage: pad queries and gather standard-frame windows."""
+        from ..ops.banded_pallas import Q_SENTINEL, standard_frame_windows
         cfg = self.cfg
         W = max(cfg.band_width, 256)
         TB = 128
@@ -199,16 +221,37 @@ class LongReadAligner:
         t_codes += [np.zeros(0, np.uint8)] * (B - len(batch))
         diags += [0] * (B - len(batch))
         t, starts = standard_frame_windows(t_codes, diags, NQ, W)
+        return batch, NQ, W, q, qlen, t, starts
+
+    def _dispatch_pallas(self, prep):
+        """Device stage (async): DP + packed traceback walk.  Returns
+        device handles only — no host sync happens here, so the caller
+        can prepare the next batch while the device works."""
+        from ..ops.banded_pallas import (banded_align_pallas,
+                                         traceback_packed_device)
+        batch, NQ, W, q, qlen, t, starts = prep
+        cfg = self.cfg
         res = banded_align_pallas(q, t, qlen, W=W, match=cfg.match_score,
                                   mismatch=cfg.mismatch_score,
                                   gap=cfg.gap_score, x_drop=cfg.x_drop)
-        # traceback_fast ≡ traceback_t output-wise but walks packed
-        # 16-row direction words: one gather per DIAG run instead of one
-        # per move (measured 31s -> 1.4s per 1024x8192 batch on one chip)
-        moves, nmoves, si, sj = traceback_fast(res.dirs_t, res.best_i,
-                                               res.best_j,
-                                               max_steps=2 * NQ + W, W=W)
-        scores = np.asarray(res.score)
+        # packed traceback ≡ traceback_t output-wise but walks 16-row
+        # direction words: one gather per DIAG run instead of one per
+        # move (measured 31s -> 1.4s per 1024x8192 batch on one chip)
+        runs, mvs, it = traceback_packed_device(
+            res.dirs_t, res.best_i, res.best_j, max_steps=2 * NQ + W, W=W)
+        return res.score, res.best_i, res.best_j, runs, mvs, it
+
+    def _finish_pallas(self, read_db: SeqDatabase, handles, prep,
+                       out: AlignmentSet, best_per_read) -> None:
+        """Host stage: sync, expand the packed moves, emit records."""
+        from ..ops.banded_pallas import expand_packed_moves
+        batch, NQ, W, q, qlen, t, starts = prep
+        score_d, best_i_d, best_j_d, runs, mvs, it = handles
+        scores = np.asarray(score_d)
+        moves, nmoves, si, sj = expand_packed_moves(
+            np.asarray(runs), np.asarray(mvs), int(np.asarray(it)),
+            np.asarray(best_i_d), np.asarray(best_j_d),
+            max_steps=2 * NQ + W)
         for b, (rid, cand, codes) in enumerate(batch):
             score = int(scores[b])
             if score <= 0:
