@@ -85,6 +85,29 @@ class SeqDatabase:
         db._name_to_id = {n: i for i, n in enumerate(db.names)}
         return db
 
+    def subset(self, ids) -> "SeqDatabase":
+        """New database holding the given sequence ids (insertion order =
+        the given order) by slicing the flat code array — no per-read
+        decode/encode round trip (the reference's per-group splitting
+        copies files; the round-1 driver re-decoded every read per group,
+        O(reads x groups) at genome scale)."""
+        ids = np.asarray(list(ids), dtype=np.int64)
+        lengths = self.lengths[ids]
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        codes = np.empty(int(offsets[-1]), dtype=np.uint8)
+        for row, i in enumerate(ids):
+            codes[offsets[row]:offsets[row + 1]] = \
+                self.codes[self.offsets[i]:self.offsets[i + 1]]
+        return SeqDatabase.from_arrays(codes, offsets,
+                                       [self.names[i] for i in ids])
+
+    def subset_by_names(self, names) -> "SeqDatabase":
+        """subset() by name set, preserving this database's id order."""
+        wanted = set(names)
+        return self.subset(i for i, n in enumerate(self.names)
+                           if n in wanted)
+
     def __len__(self) -> int:
         return len(self.names)
 

@@ -297,15 +297,12 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
         if graph is None:
             graph = PAGraph(solid, cfg.graph.k)
         member_names = {n for n, _ in group.contigs}
-        g_ctgs = SeqDatabase((n, s) for n, s in ctgs.records()
-                             if n in member_names)
-        g_refs = SeqDatabase((n, s) for n, s in refs.records()
-                             if n == group.ref_name)
+        g_ctgs = ctgs.subset_by_names(member_names)
+        g_refs = refs.subset_by_names({group.ref_name})
         read_names = group_read_names(
             group, subset_alignments(r2c, None, member_names),
             subset_alignments(r2r, None, {group.ref_name}))
-        g_reads = SeqDatabase((n, s) for n, s in reads.records()
-                              if n in read_names)
+        g_reads = reads.subset_by_names(read_names)
         g_r2c = subset_alignments(r2c, read_names, member_names)
         g_r2r = subset_alignments(r2r, read_names, {group.ref_name})
         g_c2r = subset_alignments(c2r, member_names, {group.ref_name})

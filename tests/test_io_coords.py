@@ -97,3 +97,16 @@ def test_guard_gaps_separate_spans():
     r_start = m.dual_to_single(-1, 0)
     assert r_start - f_end > 100  # guard gap
     assert m.dual_to_single(2, 0) - m.dual_to_single(-1, 49) > 0
+
+
+def test_seqdb_subset_matches_reconstruction():
+    from aligngraph2_tpu.io.seqdb import SeqDatabase
+    db = SeqDatabase([("a", "ACGTACG"), ("b", "GGGG"), ("c", "TTACGTAC"),
+                      ("d", "C")])
+    sub = db.subset([2, 0])
+    assert sub.names == ["c", "a"]
+    assert sub.get_str(0) == "TTACGTAC" and sub.get_str(1) == "ACGTACG"
+    byname = db.subset_by_names({"b", "d"})
+    assert byname.names == ["b", "d"]  # database id order preserved
+    assert byname.get_str(0) == "GGGG" and byname.get_str(1) == "C"
+    assert byname.seq_id("d") == 1
