@@ -238,7 +238,7 @@ class LongReadAligner:
         # direction words: one gather per DIAG run instead of one per
         # move (measured 31s -> 1.4s per 1024x8192 batch on one chip)
         runs, mvs, it = traceback_packed_device(
-            res.dirs_t, res.best_i, res.best_j, max_steps=2 * NQ + W, W=W)
+            res.words, res.best_i, res.best_j, max_steps=2 * NQ + W, W=W)
         return res.score, res.best_i, res.best_j, runs, mvs, it
 
     def _finish_pallas(self, read_db: SeqDatabase, handles, prep,

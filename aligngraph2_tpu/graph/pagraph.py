@@ -154,9 +154,14 @@ class PAGraph:
         self.node_codes = np.unique(np.asarray(solid_codes, dtype=np.int64))
         self.n_nodes = len(self.node_codes)
         # dense code -> node-id table (same trick as the seeding index):
-        # one gather instead of a binary search over n_nodes codes
+        # one gather instead of a binary search over n_nodes codes.  4^k
+        # int32 = 1 GB at the default k=14 (4 GB at the max k=15) — the
+        # same dense-table scale the reference's kmer_counter allocates
+        # (kmer_counter.cpp:21-40), and the binary-search fallback costs
+        # ~15 ms/read at genome scale (measured: 88% of the whole graph
+        # ingest), so the table pays for itself immediately.
         self._node_table = None
-        if self.k <= 13 and self.n_nodes:
+        if self.k <= 15 and self.n_nodes:
             table = np.full(1 << (2 * self.k), -1, np.int32)
             table[self.node_codes] = np.arange(self.n_nodes, dtype=np.int32)
             self._node_table = table

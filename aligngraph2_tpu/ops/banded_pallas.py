@@ -30,7 +30,7 @@ banded_dp.py remains as the adaptive-band/CPU-compat path).  Design:
     sublane shifts.
 
 Direction codes match banded_dp (STOP/DIAG/UP/LEFT); traceback_t walks
-the transposed (NQ, W, B) dirs layout on device.
+the packed word layout on device.
 """
 
 from __future__ import annotations
@@ -51,24 +51,30 @@ Q_SENTINEL = 254
 T_SENTINEL = 255
 
 
-def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, dirs_ref, H_scr,
+def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                best_scr, alive_scr, sub_scr, *, K, W, match, mismatch,
                gap, ks_shifts, x_drop):
     """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; qlen_ref (1, TB) i32;
-    best_ref (8, TB) i32; dirs_ref (K, W, TB) u8; H_scr (W, TB) i32;
+    best_ref (8, TB) i32; words_ref (K/16, W, TB) i32; H_scr (W, TB) i32;
     best_scr (8, TB) i32; alive_scr (1, 1) i32 SMEM; sub_scr (K, W, TB) i8.
 
+    Directions leave the kernel PRE-PACKED: 16 consecutive rows' 2-bit
+    codes accumulate in a VMEM register block and land in HBM as one
+    int32 word per (column, lane) — 4x less write traffic than uint8
+    rows (the dirs stream is the kernel's dominant HBM cost) and no
+    separate repack pass before the traceback walk.
+
     Per-row dynamic indexing only touches LEADING dims of >=3-D refs
-    (sub_scr reads, dirs_ref writes) — the tiled trailing dims see only
+    (sub_scr reads, words_ref writes) — the tiled trailing dims see only
     static or whole-block accesses, which keeps Mosaic's tile-alignment
     rules satisfied.
 
     x_drop > 0 adds tile-level early exit: once EVERY lane of the batch
     tile is dead (its rows ran past qlen, or — after it started scoring —
     its row frontier fell more than x_drop below its best), the remaining
-    row chunks skip both the DP and the dirs writes (the dominant HBM
-    traffic).  Skipped dirs rows are garbage, which is safe: traceback
-    starts at best_i, which cannot advance after death."""
+    row chunks skip the DP and the words writes.  Skipped words are
+    garbage, which is safe: traceback starts at best_i, which cannot
+    advance after death."""
     chunk = pl.program_id(1)
     TB = H_scr.shape[1]
 
@@ -91,38 +97,45 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, dirs_ref, H_scr,
         row_idx8 = jax.lax.broadcasted_iota(jnp.int32, best_scr.shape, 0)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
 
-        # phase 2: sequential DP rows
-        def row(r, carry):
+        # phase 2: sequential DP rows, 16 per packed word
+        def word_loop(w, carry):
             H, best = carry
-            i = chunk * K + (r + 1)                   # global row index
-            sub = sub_scr[r, :, :].astype(jnp.int32)
-            up_vals = jnp.concatenate(
-                [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
-            d_v = H + sub
-            u_v = up_vals + gap
-            M = jnp.maximum(d_v, u_v)
-            m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.uint8)
-            m_dir = jnp.where(M > 0, m_dir, jnp.uint8(STOP))
-            M = jnp.maximum(M, 0)
-            H = M
-            for sh in ks_shifts:
-                shifted = jnp.concatenate(
-                    [jnp.full((sh, TB), NEG, jnp.int32), H[:-sh, :]],
-                    axis=0)
-                H = jnp.maximum(H, shifted + gap * sh)
-            dirs_ref[r, :, :] = jnp.where(H > M, jnp.uint8(LEFT), m_dir)
-            # best tracking rows of (8, TB): 0 = score, 1 = i, 2 = j
-            r_max = jnp.max(H, axis=0, keepdims=True)          # (1, TB)
-            r_arg = jnp.min(jnp.where(H == r_max, j_idx, W), axis=0,
-                            keepdims=True)
-            upd = r_max > best[0:1, :]
-            cand = jnp.where(row_idx8 == 0, r_max,
-                             jnp.where(row_idx8 == 1,
-                                       jnp.full_like(r_max, i), r_arg))
-            best = jnp.where((row_idx8 <= 2) & upd, cand, best)
+            acc = jnp.zeros((W, TB), jnp.int32)
+            for s in range(16):                       # static unroll
+                r = w * 16 + s
+                i = chunk * K + (r + 1)               # global row index
+                sub = sub_scr[r, :, :].astype(jnp.int32)
+                up_vals = jnp.concatenate(
+                    [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
+                d_v = H + sub
+                u_v = up_vals + gap
+                M = jnp.maximum(d_v, u_v)
+                m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.int32)
+                m_dir = jnp.where(M > 0, m_dir, STOP)
+                M = jnp.maximum(M, 0)
+                H = M
+                for sh in ks_shifts:
+                    shifted = jnp.concatenate(
+                        [jnp.full((sh, TB), NEG, jnp.int32), H[:-sh, :]],
+                        axis=0)
+                    H = jnp.maximum(H, shifted + gap * sh)
+                code = jnp.where(H > M, LEFT, m_dir)
+                acc = acc | (code << (2 * s))
+                # best tracking rows of (8, TB): 0 = score, 1 = i, 2 = j
+                r_max = jnp.max(H, axis=0, keepdims=True)      # (1, TB)
+                r_arg = jnp.min(jnp.where(H == r_max, j_idx, W), axis=0,
+                                keepdims=True)
+                upd = r_max > best[0:1, :]
+                cand = jnp.where(row_idx8 == 0, r_max,
+                                 jnp.where(row_idx8 == 1,
+                                           jnp.full_like(r_max, i),
+                                           r_arg))
+                best = jnp.where((row_idx8 <= 2) & upd, cand, best)
+            words_ref[w, :, :] = acc
             return H, best
 
-        H, best = jax.lax.fori_loop(0, K, row, (H_scr[:], best_scr[:]))
+        H, best = jax.lax.fori_loop(0, K // 16, word_loop,
+                                    (H_scr[:], best_scr[:]))
         H_scr[:] = H
         best_scr[:] = best
         if x_drop > 0:
@@ -148,7 +161,9 @@ class PallasBandedResult(NamedTuple):
     score: jax.Array    # (B,) int32
     best_i: jax.Array   # (B,) int32
     best_j: jax.Array   # (B,) int32
-    dirs_t: jax.Array   # (NQ, W, B) uint8 — transposed layout
+    words: jax.Array    # (NQ//16, W, B) int32 — packed 2-bit direction
+                        # codes; bits (2s, 2s+1) of word w = DP row
+                        # 16*w + s + 1 (see pack semantics above)
     W: int
 
 
@@ -164,7 +179,7 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
     x_drop > 0; defaults to NQ).  B % TB == 0 and NQ % K == 0 required
     (callers bucket-pad)."""
     B, NQ = q.shape
-    assert B % TB == 0 and NQ % K == 0, (B, TB, NQ, K)
+    assert B % TB == 0 and NQ % K == 0 and K % 16 == 0, (B, TB, NQ, K)
     assert t.shape == (B, NQ + W)
     if qlen is None:
         qlen = jnp.full(B, NQ, jnp.int32)
@@ -180,7 +195,7 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
                                mismatch=mismatch, gap=gap,
                                ks_shifts=ks_shifts, x_drop=x_drop)
     grid = (B // TB, n_chunks)
-    best, dirs_t = pl.pallas_call(
+    best, words = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -194,12 +209,12 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
         out_specs=[
             pl.BlockSpec((8, TB), lambda b, i: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, W, TB), lambda b, i: (i, 0, b),
+            pl.BlockSpec((K // 16, W, TB), lambda b, i: (i, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, B), jnp.int32),
-            jax.ShapeDtypeStruct((NQ, W, B), jnp.uint8),
+            jax.ShapeDtypeStruct((NQ // 16, W, B), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, TB), jnp.int32),
@@ -212,18 +227,28 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
         ),
         interpret=interpret,
     )(qT, slabs, qlen.astype(jnp.int32)[None, :])
-    return PallasBandedResult(best[0], best[1], best[2], dirs_t, W)
+    return PallasBandedResult(best[0], best[1], best[2], words, W)
+
+
+def unpack_words(words):
+    """(NQ//16, W, B) int32 packed words -> (NQ, W, B) uint8 direction
+    codes (inverse of the kernel's in-register packing; test/debug aid)."""
+    NW, W, B = words.shape
+    shifts = (jnp.arange(16, dtype=jnp.int32) * 2)[None, :, None, None]
+    d = (words[:, None, :, :] >> shifts) & 3
+    return d.astype(jnp.uint8).reshape(NW * 16, W, B)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "W"))
-def traceback_t(dirs_t, best_i, best_j, *, max_steps, W):
-    """Device traceback over the transposed (NQ, W, B) dirs layout with the
-    constant standard-frame band (diag pred keeps j, up pred j+1, left
-    pred j-1).
+def traceback_t(words, best_i, best_j, *, max_steps, W):
+    """Reference device traceback: one gather per move over the packed
+    words, constant standard-frame band (diag pred keeps j, up pred j+1,
+    left pred j-1).  The production path is traceback_fast (run-length
+    walk); this one is the simple oracle it is tested against.
 
     Returns (moves (B, max_steps) uint8 END->START, n_moves, start_i,
     start_j); the alignment's target start is start_i + start_j."""
-    NQ, _, B = dirs_t.shape
+    NW, _, B = words.shape
     barange = jnp.arange(B, dtype=jnp.int32)
 
     def cond(carry):
@@ -233,7 +258,9 @@ def traceback_t(dirs_t, best_i, best_j, *, max_steps, W):
     def body(carry):
         step_no, i, j, active, moves = carry      # i/j/active: (B,)
         ii = jnp.maximum(i - 1, 0)
-        cur = dirs_t[ii, jnp.clip(j, 0, W - 1), barange]
+        word = words[jnp.clip(ii >> 4, 0, NW - 1),
+                     jnp.clip(j, 0, W - 1), barange]
+        cur = ((word >> (2 * (ii & 15))) & 3).astype(jnp.uint8)
         cur = jnp.where(active & (i > 0), cur, STOP)
         ni = jnp.where(cur == LEFT, i, i - 1)
         nj = jnp.where(cur == LEFT, j - 1,
@@ -254,35 +281,23 @@ def traceback_t(dirs_t, best_i, best_j, *, max_steps, W):
     return moves, n, si, sj
 
 
-def pack_dirs(dirs_t):
-    """(NQ, W, B) uint8 2-bit direction codes -> (NQ//16, W, B) int32
-    words; bits (2s, 2s+1) of word w hold the direction of DP row
-    16*w + s + 1 (dirs row 16*w + s)."""
-    NQ, W, B = dirs_t.shape
-    assert NQ % 16 == 0, NQ
-    d = dirs_t.reshape(NQ // 16, 16, W, B).astype(jnp.int32)
-    shifts = (jnp.arange(16, dtype=jnp.int32) * 2)[None, :, None, None]
-    return jnp.sum(d << shifts, axis=1)  # disjoint bits: sum == or
-
-
 @functools.partial(jax.jit, static_argnames=("max_steps", "W"))
-def traceback_packed_device(dirs_t, best_i, best_j, *, max_steps, W):
+def traceback_packed_device(words_arr, best_i, best_j, *, max_steps, W):
     """Device half of the fast traceback (see :func:`traceback_fast`).
 
-    The per-move gather in ``traceback_t`` is latency-bound (measured
-    ~19 us per while_loop step on one chip — a (B,)-element gather from
-    the multi-GB dirs stream per DP move).  DIAG moves keep the band
-    column j constant, so after packing 16 consecutive rows' direction
-    codes into one int32 per (column, lane), a single gather serves an
-    entire DIAG run: each iteration consumes the run plus its terminating
-    UP/LEFT with unrolled register-level bit ops, cutting iterations by
-    ~the mean DIAG run length.  Emits per-iteration run-length codes
-    (runs[b,it] DIAGs then moves[b,it] if nonzero); the host expander
-    reconstructs the exact traceback_t output.
+    A per-move gather would be latency-bound (measured ~19 us per
+    while_loop step on one chip — a (B,)-element gather from the
+    multi-GB direction stream per DP move).  DIAG moves keep the band
+    column j constant, and the DP kernel already emits 16 consecutive
+    rows' direction codes packed into one int32 per (column, lane), so
+    a single gather serves an entire DIAG run: each iteration consumes
+    the run plus its terminating UP/LEFT with unrolled register-level
+    bit ops, cutting iterations by ~the mean DIAG run length.  Emits
+    per-iteration run-length codes (runs[b,it] DIAGs then moves[b,it]
+    if nonzero); the host expander reconstructs the exact traceback_t
+    output.
     """
-    NQ, _, B = dirs_t.shape
-    words_arr = pack_dirs(dirs_t)              # (NQ//16, W, B)
-    NW = words_arr.shape[0]
+    NW, _, B = words_arr.shape
     barange = jnp.arange(B, dtype=jnp.int32)
     MI = max_steps + 1
 
@@ -363,12 +378,12 @@ def expand_packed_moves(runs, mvs, it_count, best_i, best_j, max_steps):
     return moves, n.astype(np.int32), si, sj
 
 
-def traceback_fast(dirs_t, best_i, best_j, *, max_steps, W):
+def traceback_fast(words, best_i, best_j, *, max_steps, W):
     """Drop-in traceback_t replacement (numpy outputs): packed-word
     device walk + host run-length expansion.  Exactly equal to
     traceback_t on all inputs (tests/test_banded_pallas.py)."""
     runs, mvs, it = traceback_packed_device(
-        dirs_t, best_i, best_j, max_steps=max_steps, W=W)
+        words, best_i, best_j, max_steps=max_steps, W=W)
     return expand_packed_moves(np.asarray(runs), np.asarray(mvs),
                                int(it), np.asarray(best_i),
                                np.asarray(best_j), max_steps)

@@ -77,7 +77,7 @@ def measure_pallas(B, NQ, W, iters=5):
 
     def run():
         r = banded_align_pallas(qd, td, W=W, K=64)
-        m, n, si, sj = traceback_t(r.dirs_t, r.best_i, r.best_j,
+        m, n, si, sj = traceback_t(r.words, r.best_i, r.best_j,
                                    max_steps=2 * NQ, W=W)
         # NOTE: np.asarray, not block_until_ready — the axon relay's
         # block_until_ready returns before execution finishes; a host
@@ -161,7 +161,7 @@ def verify_pallas_on_hardware(B=128, NQ=1024, W=256, seed=7):
                                   jax.device_put(qlen), W=W,
                                   x_drop=x_drop)
         moves, nmoves, si, sj = traceback_fast(
-            res.dirs_t, res.best_i, res.best_j, max_steps=2 * NQ, W=W)
+            res.words, res.best_i, res.best_j, max_steps=2 * NQ, W=W)
         scan = banded_align(q, qlen, t.copy(), np.full(B, NQ + W, np.int32),
                             np.full(B, W // 2, np.int32), W=W)
         s_moves, s_n, s_si, s_sj = traceback(

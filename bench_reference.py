@@ -144,9 +144,9 @@ def main():
         t0 = time.time()
         res = subprocess.run(
             [os.path.join(REF_BUILD, "pa_cns"), "-t", str(args.threads),
-             "-r", bref, "-c", bfa,
-             "-o", os.path.join(bdir, "cns.fasta"), "-a", "10000",
-             "-k", "3000"],
+             "-i", bfa, "-a", bref,
+             "-o", os.path.join(bdir, "cns.fasta"),
+             "-l", "10000", "-k", "3000"],
             capture_output=True, timeout=14400)
         stage["ref_pa_cns_s"] = round(time.time() - t0, 2)
         stage["ref_pa_cns_rc"] = res.returncode

@@ -68,7 +68,7 @@ def test_pallas_traceback_reconstructs(rng):
                   dele=0.02)
     qc = encode_seq(read)
     res, starts, q, t = run_pallas([qc], [g], [100], NQ=NQ, W=W)
-    moves, n, si, sj = traceback_t(res.dirs_t, res.best_i, res.best_j,
+    moves, n, si, sj = traceback_t(res.words, res.best_i, res.best_j,
                                    max_steps=2 * NQ + W, W=W)
     b = 0
     si_, sj_ = int(si[b]), int(sj[b])
@@ -120,9 +120,9 @@ def test_traceback_fast_matches_traceback_t(rng):
         diags.append(0)
     res, starts, q, t = run_pallas(qs, ts, diags, NQ, W=W)
     for ms in (2 * NQ, 100, 32, 15):
-        m1, n1, i1, j1 = traceback_t(res.dirs_t, res.best_i, res.best_j,
+        m1, n1, i1, j1 = traceback_t(res.words, res.best_i, res.best_j,
                                      max_steps=ms, W=W)
-        m2, n2, i2, j2 = traceback_fast(res.dirs_t, res.best_i,
+        m2, n2, i2, j2 = traceback_fast(res.words, res.best_i,
                                         res.best_j, max_steps=ms, W=W)
         assert np.array_equal(np.asarray(m1), m2), ms
         assert np.array_equal(np.asarray(n1), n2), ms
@@ -167,9 +167,9 @@ def test_xdrop_matches_full_kernel(rng):
                                   np.asarray(full.best_j))
     # traceback over the x-drop dirs gives the same moves: rows at or
     # below each lane's best_i are always written before tile death
-    mf, nf, sif, sjf = traceback_t(full.dirs_t, full.best_i, full.best_j,
+    mf, nf, sif, sjf = traceback_t(full.words, full.best_i, full.best_j,
                                    max_steps=2 * NQ, W=W)
-    mx, nx, six, sjx = traceback_t(xd.dirs_t, xd.best_i, xd.best_j,
+    mx, nx, six, sjx = traceback_t(xd.words, xd.best_i, xd.best_j,
                                    max_steps=2 * NQ, W=W)
     np.testing.assert_array_equal(np.asarray(mx), np.asarray(mf))
     np.testing.assert_array_equal(np.asarray(six), np.asarray(sif))
