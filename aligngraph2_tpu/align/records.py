@@ -115,15 +115,32 @@ class AlignmentSet:
     def sort_by_score(self) -> None:
         self.alignments.sort(key=Alignment.sort_key)
 
+    def write_ref_file(self, f) -> None:
+        for a in self.alignments:
+            f.write(f"{a.query_name}\t{a.ref_name}\t"
+                    f"{'F' if a.forward else 'R'}\t{a.score}\t"
+                    f"{a.qb}\t{a.qe}\t{a.qsize}\t"
+                    f"{a.rb}\t{a.re}\t{a.rsize}\n")
+            f.write(a.qstr + "\n")
+            f.write(a.tstr + "\n")
+
     def write_ref(self, path: str) -> None:
         with open(path, "w") as f:
-            for a in self.alignments:
-                f.write(f"{a.query_name}\t{a.ref_name}\t"
-                        f"{'F' if a.forward else 'R'}\t{a.score}\t"
-                        f"{a.qb}\t{a.qe}\t{a.qsize}\t"
-                        f"{a.rb}\t{a.re}\t{a.rsize}\n")
-                f.write(a.qstr + "\n")
-                f.write(a.tstr + "\n")
+            self.write_ref_file(f)
+
+    def to_ref_text(self) -> str:
+        """The 3-line format as one string (the multi-host interchange,
+        parallel/distributed.py gather_alignments)."""
+        import io
+        buf = io.StringIO()
+        self.write_ref_file(buf)
+        return buf.getvalue()
+
+    @classmethod
+    def from_ref_text(cls, text: str, keep_strings: bool = True
+                      ) -> "AlignmentSet":
+        import io
+        return cls.read_ref_file(io.StringIO(text), keep_strings)
 
     @classmethod
     def read_ref(cls, path: str, keep_strings: bool = True
@@ -133,41 +150,46 @@ class AlignmentSet:
         feeds every record triple through; a failed header yields an empty
         record there — we drop them, matching the driver's filter step
         script/filter.py which drops malformed records before this point)."""
-        out = cls()
         with open(path, "r", errors="ignore") as f:
-            while True:
-                l1 = f.readline()
-                if not l1:
-                    break
-                l2 = f.readline().rstrip("\n")
-                l3 = f.readline().rstrip("\n")
-                parts = l1.split()
-                if len(parts) < 9 or len(l2) != len(l3):
-                    continue
-                try:
-                    if len(parts) >= 10:
-                        score = (int(float(parts[3]))
-                                 if parts[3] != "NULL" else 0)
-                        qsize, rsize = int(parts[6]), int(parts[9])
-                    else:
-                        # 9-field ctg->ref variant: the reference's
-                        # MummerAlignDatabaseV2.cpp:21-24 reads exactly
-                        # 9 fields (score & sizes slots ignored) and sets
-                        # score = queryEnd - queryBegin (aligned length,
-                        # MummerAlignDatabaseV2.cpp:38).
-                        score = int(parts[5]) - int(parts[4])
-                        qsize, rsize = 0, 0
-                    a = Alignment(
-                        query_name=parts[0], ref_name=parts[1],
-                        forward=parts[2] == "F", score=score,
-                        qb=int(parts[4]), qe=int(parts[5]),
-                        qsize=qsize, rb=int(parts[7]),
-                        re=int(parts[8]), rsize=rsize,
-                        qstr=l2 if keep_strings else "",
-                        tstr=l3 if keep_strings else "")
-                    if not keep_strings:
-                        a.qdiff, a.rdiff = parse_diff(l2, l3)
-                except ValueError:
-                    continue
-                out.append(a)
+            return cls.read_ref_file(f, keep_strings)
+
+    @classmethod
+    def read_ref_file(cls, f, keep_strings: bool = True
+                      ) -> "AlignmentSet":
+        out = cls()
+        while True:
+            l1 = f.readline()
+            if not l1:
+                break
+            l2 = f.readline().rstrip("\n")
+            l3 = f.readline().rstrip("\n")
+            parts = l1.split()
+            if len(parts) < 9 or len(l2) != len(l3):
+                continue
+            try:
+                if len(parts) >= 10:
+                    score = (int(float(parts[3]))
+                             if parts[3] != "NULL" else 0)
+                    qsize, rsize = int(parts[6]), int(parts[9])
+                else:
+                    # 9-field ctg->ref variant: the reference's
+                    # MummerAlignDatabaseV2.cpp:21-24 reads exactly
+                    # 9 fields (score & sizes slots ignored) and sets
+                    # score = queryEnd - queryBegin (aligned length,
+                    # MummerAlignDatabaseV2.cpp:38).
+                    score = int(parts[5]) - int(parts[4])
+                    qsize, rsize = 0, 0
+                a = Alignment(
+                    query_name=parts[0], ref_name=parts[1],
+                    forward=parts[2] == "F", score=score,
+                    qb=int(parts[4]), qe=int(parts[5]),
+                    qsize=qsize, rb=int(parts[7]),
+                    re=int(parts[8]), rsize=rsize,
+                    qstr=l2 if keep_strings else "",
+                    tstr=l3 if keep_strings else "")
+                if not keep_strings:
+                    a.qdiff, a.rdiff = parse_diff(l2, l3)
+            except ValueError:
+                continue
+            out.append(a)
         return out

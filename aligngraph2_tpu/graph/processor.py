@@ -171,22 +171,32 @@ class PositionProcessor:
     # ------------- main processing -------------
 
     def process(self, log=print) -> None:
+        import time
         g = self.graph
         cfg = self.cfg
+        t0 = time.perf_counter()
         self._run_pass(self._emit_read_to_ctg)
+        t1 = time.perf_counter()
         self.stats["merge_edge_1"] = g.merge_edges()
         self.stats["total_pos_1"] = g.total_positions()
         self.stats["merge_pos_1"] = g.merge_positions(cfg.epsilon)
+        t2 = time.perf_counter()
         log(f"  [pass1] merged edges={self.stats['merge_edge_1']} "
             f"pos={self.stats['total_pos_1']} "
-            f"merged pos={self.stats['merge_pos_1']}")
+            f"merged pos={self.stats['merge_pos_1']} "
+            f"(ingest {t1 - t0:.1f}s merge {t2 - t1:.1f}s)")
         self._run_pass(self._emit_read_to_ref)
+        t3 = time.perf_counter()
         self.stats["merge_edge_2"] = g.merge_edges()
         self.stats["total_pos_2"] = g.total_positions()
         self.stats["merge_pos_2"] = g.merge_positions(cfg.epsilon)
+        t4 = time.perf_counter()
         log(f"  [pass2] merged edges={self.stats['merge_edge_2']} "
             f"pos={self.stats['total_pos_2']} "
-            f"merged pos={self.stats['merge_pos_2']}")
+            f"merged pos={self.stats['merge_pos_2']} "
+            f"(ingest {t3 - t2:.1f}s merge {t4 - t3:.1f}s)")
+        self.stats["ingest_s"] = round(t1 - t0 + t3 - t2, 2)
+        self.stats["merge_s"] = round(t2 - t1 + t4 - t3, 2)
         g.finalize()
 
     def _run_pass(self, emitter) -> None:

@@ -74,6 +74,59 @@ def host_shard_ids(n_items: int, process_id: Optional[int] = None,
     return np.arange(s.start, s.stop, dtype=np.int64)
 
 
+def gather_host_bytes(data: bytes) -> list:
+    """All-gather one bytes blob per host -> list of every host's blob
+    (process order).  Single-host: [data].  Pads to the max length and
+    rides jax.experimental.multihost_utils.process_allgather."""
+    import jax
+    if jax.process_count() <= 1:
+        return [data]
+    from jax.experimental import multihost_utils
+    n = np.array([len(data)], np.int64)
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    m = max(int(sizes.max()), 1)
+    arr = np.zeros(m, np.uint8)
+    arr[:len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    gathered = gathered.reshape(len(sizes), m)
+    return [gathered[p, :int(sizes[p])].tobytes()
+            for p in range(len(sizes))]
+
+
+def gather_alignments(alns) -> "AlignmentSet":
+    """Merge per-host AlignmentSets across hosts (process order, so the
+    result is deterministic).  Single-host: identity.
+
+    The interchange is the 3-line .ref text itself — the same format the
+    stages already persist, so serialization is one code path
+    (align/records.py)."""
+    import jax
+    if jax.process_count() <= 1:
+        return alns
+    from ..align.records import AlignmentSet
+    blobs = gather_host_bytes(alns.to_ref_text().encode())
+    out = AlignmentSet()
+    for blob in blobs:
+        for a in AlignmentSet.from_ref_text(blob.decode()):
+            out.append(a)
+    return out
+
+
+def is_coordinator() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-host sync point (no-op single-host): coordinator-written
+    stage files are visible before other hosts read them."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
 def merge_host_counts(local_codes: np.ndarray, local_counts: np.ndarray,
                       k: int):
     """Merge per-host sparse k-mer counts into the global solid-set input

@@ -22,7 +22,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -103,9 +103,14 @@ def _make_mesh(cfg: PipelineConfig):
 def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
          cfg: PipelineConfig, log) -> PipelineResult:
     t0 = time.time()
-    from ..parallel.distributed import init_distributed
+    from ..parallel.distributed import (barrier, gather_alignments,
+                                        host_shard_ids, init_distributed,
+                                        is_coordinator)
+    import jax
     init_distributed()
     mesh = _make_mesh(cfg)
+    n_hosts = jax.process_count()
+    rank = jax.process_index()
     stats: Dict[str, object] = {}
     stats["sharded_align"] = mesh is not None
     if mesh is not None:
@@ -152,9 +157,11 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     if not (cache.check(read_path) and cache.check_args(k=cfg.graph.k)
             and os.path.exists(solid_path)):
         solid = solid_set(reads, cfg.graph.k, cfg.graph.solid_threshold)
-        write_solid_set(solid_path, cfg.graph.k, solid)
-        cache.save(read_path)
-        cache.save_args(k=cfg.graph.k)
+        if is_coordinator():
+            write_solid_set(solid_path, cfg.graph.k, solid)
+            cache.save(read_path)
+            cache.save_args(k=cfg.graph.k)
+        barrier("stage1")
         log(f"Done: {len(solid)} solid k-mers")
     else:
         log("Reuse")
@@ -172,12 +179,16 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     if not (c_cache.check(read_path, ctg_path)
             and c_cache.check_args(**aln_args)
             and os.path.exists(r2c_path)):
+        read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
         r2c = LongReadAligner(ctgs, cfg.aligner, mesh=mesh,
                               progress=cfg.runtime.progress
-                              ).align_reads(reads)
-        r2c.write_ref(r2c_path)
-        c_cache.save(read_path, ctg_path)
-        c_cache.save_args(**aln_args)
+                              ).align_reads(reads, ids=read_ids)
+        r2c = gather_alignments(r2c)
+        if is_coordinator():
+            r2c.write_ref(r2c_path)
+            c_cache.save(read_path, ctg_path)
+            c_cache.save_args(**aln_args)
+        barrier("stage2")
         log(f"Done: {len(r2c)} alignments")
     else:
         r2c = AlignmentSet.read_ref(r2c_path)
@@ -193,12 +204,16 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     if not (r_cache.check(read_path, genome_path)
             and r_cache.check_args(**aln_args)
             and os.path.exists(r2r_path)):
+        read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
         r2r = LongReadAligner(refs, cfg.aligner, mesh=mesh,
                               progress=cfg.runtime.progress
-                              ).align_reads(reads)
-        r2r.write_ref(r2r_path)
-        r_cache.save(read_path, genome_path)
-        r_cache.save_args(**aln_args)
+                              ).align_reads(reads, ids=read_ids)
+        r2r = gather_alignments(r2r)
+        if is_coordinator():
+            r2r.write_ref(r2r_path)
+            r_cache.save(read_path, genome_path)
+            r_cache.save_args(**aln_args)
+        barrier("stage3")
         log(f"Done: {len(r2r)} alignments")
     else:
         r2r = AlignmentSet.read_ref(r2r_path)
@@ -216,9 +231,11 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             and os.path.exists(c2r_path)):
         c2r = align_chunked(refs, ctgs, cfg.aligner,
                             progress=cfg.runtime.progress, mesh=mesh)
-        c2r.write_ref(c2r_path)
-        m_cache.save(ctg_path, genome_path)
-        m_cache.save_args(**aln_args)
+        if is_coordinator():
+            c2r.write_ref(c2r_path)
+            m_cache.save(ctg_path, genome_path)
+            m_cache.save_args(**aln_args)
+        barrier("stage4")
         log(f"Done: {len(c2r)} alignments")
     else:
         c2r = AlignmentSet.read_ref(c2r_path)
@@ -239,9 +256,11 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     else:
         groups = group_contigs(ctgs, c2r, cfg.preprocess.group_top_k,
                                cfg.preprocess.group_cover_ratio)
-        write_config(config_path, groups)
-        p_cache.save(ctg_path, c2r_path)
-        p_cache.save_args(**pre_args)
+        if is_coordinator():
+            write_config(config_path, groups)
+            p_cache.save(ctg_path, c2r_path)
+            p_cache.save_args(**pre_args)
+        barrier("stage5")
         log(f"Done: {len(groups)} reference groups")
     stats["n_groups"] = len(groups)
 
@@ -258,7 +277,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     stage6_inputs = (read_path, solid_path, r2c_path, r2r_path, c2r_path,
                      config_path)
     stage6_fresh = g_cache.check(*stage6_inputs)
-    if not stage6_fresh:
+    if not stage6_fresh and is_coordinator():
         # record input state up front: a crashed run resumes per-group via
         # the DONE markers, exactly like the reference's per-group gating
         g_cache.save(*stage6_inputs)
@@ -273,8 +292,11 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     graph = None
     all_success: set = set()
     connections: List[dict] = []
+    local_results: Dict[int, dict] = {}   # gi -> payload (this host)
     reused_groups = 0
     for gi, group in enumerate(groups):
+        if n_hosts > 1 and gi % n_hosts != rank:
+            continue  # another host owns this group (gathered below)
         gdir = os.path.join(dirs["pagraph"], str(gi))
         os.makedirs(gdir, exist_ok=True)
         res_path = os.path.join(gdir, "result.json")
@@ -284,11 +306,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
                 and os.path.exists(res_path)):
             with open(res_path) as f:
                 saved = json.load(f)
-            all_success |= {(n, bool(fwd)) for n, fwd in saved["success"]}
-            for c in saved["connections"]:
-                c["members"] = [(n, bool(fw), ln)
-                                for n, fw, ln in c["members"]]
-                connections.append(c)
+            local_results[gi] = saved
             log(f"  group {gi}: Reuse")
             reused_groups += 1
             continue
@@ -320,14 +338,29 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             start_split=cfg.graph.start_split, min_len=cfg.graph.min_len,
             top_k=cfg.graph.travel_top_k, threads=cfg.runtime.threads)
         res = assemble_group(st, group.contigs, gdir, f"{gi}_")
-        all_success |= res.success
-        connections.extend(res.connections)
+        payload = {"success": sorted(res.success),
+                   "connections": res.connections}
+        local_results[gi] = payload
         with open(res_path, "w") as f:
-            json.dump({"success": sorted(res.success),
-                       "connections": res.connections}, f)
+            json.dump(payload, f)
         grp_cache.save_args(**g_args)
         with open(os.path.join(gdir, "DONE"), "w"):
             pass
+    # merge per-group results across hosts (deterministic group order;
+    # single-host: identity)
+    if n_hosts > 1:
+        from ..parallel.distributed import gather_host_bytes
+        blobs = gather_host_bytes(json.dumps(local_results).encode())
+        merged: Dict[int, dict] = {}
+        for blob in blobs:
+            merged.update({int(k): v for k, v in json.loads(blob).items()})
+        local_results = merged
+    for gi in sorted(local_results):
+        saved = local_results[gi]
+        all_success |= {(n, bool(fwd)) for n, fwd in saved["success"]}
+        for c in saved["connections"]:
+            c["members"] = [(n, bool(fw), ln) for n, fw, ln in c["members"]]
+            connections.append(c)
     log(f"Done: {len(connections)} assembled chains, "
         f"{len(all_success)} contigs consumed"
         + (f" ({reused_groups} groups reused)" if reused_groups else ""))
@@ -379,12 +412,17 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             log("Reuse")
         else:
             all_db = SeqDatabase(include + add)
+            read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
             merge_alns = LongReadAligner(
                 all_db, cfg.aligner, mesh=mesh,
-                progress=cfg.runtime.progress).align_reads(reads)
-            merge_alns.write_ref(merge_path)
-            w_cache.save(read_path, all_path)
-            w_cache.save_args(**aln_args)
+                progress=cfg.runtime.progress).align_reads(reads,
+                                                           ids=read_ids)
+            merge_alns = gather_alignments(merge_alns)
+            if is_coordinator():
+                merge_alns.write_ref(merge_path)
+                w_cache.save(read_path, all_path)
+                w_cache.save_args(**aln_args)
+            barrier("stage7")
             log(f"Done: {len(merge_alns)} alignments")
 
     # ---- 8. windowed consensus ----
@@ -409,27 +447,43 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             for a in merge_alns:
                 if a.ref_name in per_backbone:
                     per_backbone[a.ref_name].append(a)
-            for name, seq in add:
+            local_cor: Dict[int, Tuple[str, str]] = {}
+            for bi, (name, seq) in enumerate(add):
+                if n_hosts > 1 and bi % n_hosts != rank:
+                    continue  # another host corrects this backbone
                 log(f"\tcorrecting {name}")
                 cns = consensus_backbone(seq, per_backbone[name],
                                          cfg.consensus,
                                          threads=cfg.runtime.threads)
-                cor_records.append((name, cns if cns else seq))
-            write_fasta(cor_path, cor_records)
-            o_cache.save(merge_path, all_path)
-            o_cache.save_args(**cns_args)
+                local_cor[bi] = (name, cns if cns else seq)
+            if n_hosts > 1:
+                from ..parallel.distributed import gather_host_bytes
+                blobs = gather_host_bytes(json.dumps(local_cor).encode())
+                merged_cor: Dict[int, list] = {}
+                for blob in blobs:
+                    merged_cor.update({int(k): v for k, v
+                                       in json.loads(blob).items()})
+                local_cor = merged_cor
+            cor_records = [tuple(local_cor[bi]) for bi in sorted(local_cor)]
+            if is_coordinator():
+                write_fasta(cor_path, cor_records)
+                o_cache.save(merge_path, all_path)
+                o_cache.save_args(**cns_args)
+            barrier("stage8")
     else:
         write_fasta(cor_path, cor_records)
     mark("correct")
 
     # ---- final outputs ----
     final_path = os.path.join(out_dir, "final.fasta")
-    write_fasta(final_path, include + cor_records)
-    write_fasta(os.path.join(out_dir, "remainder.fasta"), include)
-    write_fasta(os.path.join(out_dir, "exclude.fasta"), exclude)
-    write_fasta(os.path.join(out_dir, "add.fasta"), cor_records)
-    import shutil
-    shutil.copyfile(coninfo, os.path.join(out_dir, "connect_info.txt"))
+    if is_coordinator():
+        write_fasta(final_path, include + cor_records)
+        write_fasta(os.path.join(out_dir, "remainder.fasta"), include)
+        write_fasta(os.path.join(out_dir, "exclude.fasta"), exclude)
+        write_fasta(os.path.join(out_dir, "add.fasta"), cor_records)
+        import shutil
+        shutil.copyfile(coninfo, os.path.join(out_dir, "connect_info.txt"))
+    barrier("final")
 
     mark("emit")
     stats["wall_s"] = time.time() - t0
