@@ -170,12 +170,14 @@ class PositionProcessor:
 
     # ------------- main processing -------------
 
-    def process(self, log=print) -> None:
+    def process(self, log=print, threads: int = 0,
+                use_native: bool = True) -> None:
         import time
         g = self.graph
         cfg = self.cfg
         t0 = time.perf_counter()
-        self._run_pass(self._emit_read_to_ctg)
+        if not (use_native and self._native_pass(False, threads)):
+            self._run_pass(self._emit_read_to_ctg)
         t1 = time.perf_counter()
         self.stats["merge_edge_1"] = g.merge_edges()
         self.stats["total_pos_1"] = g.total_positions()
@@ -185,7 +187,8 @@ class PositionProcessor:
             f"pos={self.stats['total_pos_1']} "
             f"merged pos={self.stats['merge_pos_1']} "
             f"(ingest {t1 - t0:.1f}s merge {t2 - t1:.1f}s)")
-        self._run_pass(self._emit_read_to_ref)
+        if not (use_native and self._native_pass(True, threads)):
+            self._run_pass(self._emit_read_to_ref)
         t3 = time.perf_counter()
         self.stats["merge_edge_2"] = g.merge_edges()
         self.stats["total_pos_2"] = g.total_positions()
@@ -198,6 +201,12 @@ class PositionProcessor:
         self.stats["ingest_s"] = round(t1 - t0 + t3 - t2, 2)
         self.stats["merge_s"] = round(t2 - t1 + t4 - t3, 2)
         g.finalize()
+
+    def _native_pass(self, pass2: bool, threads: int) -> bool:
+        """Threaded C++ ingest core (native/ingest.cpp); the Python pass
+        below is its specification and fallback."""
+        from .ingest_native import ingest_pass
+        return ingest_pass(self, pass2, threads)
 
     def _run_pass(self, emitter) -> None:
         for rid in range(len(self.read_db)):

@@ -1,0 +1,320 @@
+// Native graph-ingest core: the per-read alignment-replay -> position/edge
+// append loop of graph/processor.py (_run_pass/_insert_read and the
+// _emit_read_to_ctg/_emit_read_to_ref emitters), which re-designs the
+// reference's PositionProcessor::process hot path
+// (/root/reference/PAGraph/src/tools/position/PositionProcessor.cpp:78-151
+// driving Aligner::parseToCtg/parseToRef, Aligner.tcc:23-171, and
+// PABruijnGraph::addPositionAndEdge, PABruijnGraph.tcc:5-27).
+//
+// Python remains the specification: the caller (graph/ingest_native.py)
+// pre-applies every record-level filter (group membership, ratio, top-K,
+// coverage) and hands this core only the surviving alignments as flat
+// arrays.  This core replays the diff masks into emitted (query, target)
+// coordinate pairs exactly like align/records.py exact_align_pairs, joins
+// pass-1 pairs through the per-contig-base AlignReference CSR, maps dual
+// coordinates to flat space (coords/mapper.py layout), samples k-mer
+// positions with the greedy stride rule, and appends position/edge
+// streams.  Reads stripe over a thread pool like the reference's
+// MultiThreadTools (MultiThreadTools.tcc:5-21); output order differs from
+// the Python path only in stream order, which the graph's sort-based
+// merge phases erase (tests assert final-graph equality).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Buf {
+  std::vector<int64_t> pos_node, pos_ctg, pos_ref;
+  std::vector<int64_t> edge_from, edge_to, edge_step;
+};
+
+struct Args {
+  const uint8_t* read_codes;
+  const int64_t* read_off;
+  int64_t n_reads;
+  const int64_t* aln_off;   // per read: [aln_off[r], aln_off[r+1])
+  const uint8_t* aln_strand;
+  const uint8_t* aln_walk_fwd;
+  const int64_t* aln_q0;
+  const int64_t* aln_t0;
+  const int32_t* aln_tgt;
+  const int64_t* col_off;   // per alignment: columns [col_off[a], col_off[a+1])
+  const uint8_t* qd;
+  const uint8_t* rd;
+  int64_t pass2;            // 0: read->ctg (CSR join), 1: read->ref
+  // pass-1 contig-side tables
+  const int64_t* ctg_len;
+  const int64_t* ctg_flat_start;
+  const uint8_t* ctg_fwd;       // group orientation per contig
+  const int64_t* ar_soff;       // per contig: offset of its (len+1) CSR row
+  const int64_t* ar_eoff;       // per contig: offset of its entries
+  const int64_t* ar_start;      // concatenated per-base CSR starts (local)
+  const int64_t* ar_ridx;       // entries: signed 1-based ref idx (0 sentinel)
+  const int64_t* ar_rpos;
+  const int64_t* ref_flat_start;  // ref mapper start[] per ref
+  int64_t ref_flat_group;         // pass-2: flat start of the group ref
+  // graph side
+  const int32_t* node_table;    // dense 4^k code -> node id (-1 absent)
+  int64_t k;
+  int64_t outer_sample;
+};
+
+// one (read_pos, ctg_flat, ref_flat) triple, staged per strand bucket
+struct Triple {
+  int64_t rpos, cflat, rflat;
+};
+
+class Worker {
+ public:
+  explicit Worker(const Args& a) : a_(a) {}
+
+  Buf buf;
+
+  void run(int64_t rid_begin, int64_t stride) {
+    std::vector<Triple> tri[2];        // per strand bucket
+    std::vector<int64_t> cnt, start, order, kmers, sel;
+    std::vector<uint8_t> codes;
+    for (int64_t r = rid_begin; r < a_.n_reads; r += stride) {
+      const int64_t rlen = a_.read_off[r + 1] - a_.read_off[r];
+      tri[0].clear();
+      tri[1].clear();
+      for (int64_t ai = a_.aln_off[r]; ai < a_.aln_off[r + 1]; ++ai)
+        replay(ai, rlen, tri[a_.aln_strand[ai] ? 1 : 0]);
+      // dict order in _run_pass buckets: True (forward) first
+      for (int s = 1; s >= 0; --s) {
+        if (tri[s].empty()) continue;
+        insert_read(r, rlen, s == 1, tri[s], cnt, start, order, kmers,
+                    sel, codes);
+      }
+    }
+  }
+
+ private:
+  const Args& a_;
+
+  // exact_align_pairs + the emitters' range masks + dual->flat mapping
+  void replay(int64_t ai, int64_t rlen, std::vector<Triple>& out) {
+    const uint8_t* qd = a_.qd + a_.col_off[ai];
+    const uint8_t* rd = a_.rd + a_.col_off[ai];
+    const int64_t ncol = a_.col_off[ai + 1] - a_.col_off[ai];
+    const bool fwd = a_.aln_walk_fwd[ai] != 0;
+    int64_t qp = a_.aln_q0[ai];
+    int64_t tp = a_.aln_t0[ai];
+    if (a_.pass2) {
+      const int64_t rbase = a_.ref_flat_group;
+      for (int64_t i = 0; i < ncol; ++i) {
+        const int64_t c = fwd ? i : ncol - 1 - i;
+        const bool qdv = qd[c] != 0, rdv = rd[c] != 0;
+        const bool q_adv = (qdv == rdv) || (!qdv && rdv);
+        const bool t_adv = (qdv == rdv) || (qdv && !rdv);
+        if (q_adv && qp >= 0 && qp < rlen)
+          out.push_back({qp, 0, rbase + tp});
+        qp += q_adv;
+        tp += t_adv;
+      }
+      return;
+    }
+    const int32_t cid = a_.aln_tgt[ai];
+    const int64_t clen = a_.ctg_len[cid];
+    const bool fwd_c = a_.ctg_fwd[cid] != 0;
+    const int64_t cbase = a_.ctg_flat_start[cid] + (fwd_c ? 0 : 2 * clen);
+    const int64_t* ar_start = a_.ar_start + a_.ar_soff[cid];
+    const int64_t* ar_ridx = a_.ar_ridx + a_.ar_eoff[cid];
+    const int64_t* ar_rpos = a_.ar_rpos + a_.ar_eoff[cid];
+    for (int64_t i = 0; i < ncol; ++i) {
+      const int64_t c = fwd ? i : ncol - 1 - i;
+      const bool qdv = qd[c] != 0, rdv = rd[c] != 0;
+      const bool q_adv = (qdv == rdv) || (!qdv && rdv);
+      const bool t_adv = (qdv == rdv) || (qdv && !rdv);
+      if (q_adv && qp >= 0 && qp < rlen && tp >= 0 && tp < clen) {
+        const int64_t cflat = cbase + tp;
+        for (int64_t e = ar_start[tp]; e < ar_start[tp + 1]; ++e) {
+          const int64_t ridx = ar_ridx[e];
+          const int64_t rflat =
+              ridx == 0 ? 0 : a_.ref_flat_start[ridx - 1] + ar_rpos[e];
+          out.push_back({qp, cflat, rflat});
+        }
+      }
+      qp += q_adv;
+      tp += t_adv;
+    }
+  }
+
+  // _insert_read: stable sort by read base, per-base CSR, rolling k-mers,
+  // dense node lookup, greedy stride sampling, position + edge appends
+  void insert_read(int64_t r, int64_t rlen, bool forward,
+                   const std::vector<Triple>& tri, std::vector<int64_t>& cnt,
+                   std::vector<int64_t>& start, std::vector<int64_t>& order,
+                   std::vector<int64_t>& kmers, std::vector<int64_t>& sel,
+                   std::vector<uint8_t>& codes) {
+    const int64_t k = a_.k;
+    if (rlen < k) return;
+    // counting sort by read position (stable == np.argsort kind='stable')
+    cnt.assign(rlen + 1, 0);
+    for (const Triple& t : tri) ++cnt[t.rpos + 1];
+    start.assign(rlen + 1, 0);
+    for (int64_t i = 0; i < rlen; ++i) start[i + 1] = start[i] + cnt[i + 1];
+    order.resize(tri.size());
+    {
+      std::vector<int64_t> cur(start.begin(), start.end() - 1);
+      for (size_t i = 0; i < tri.size(); ++i)
+        order[cur[tri[i].rpos]++] = static_cast<int64_t>(i);
+    }
+    // strand codes + rolling k-mer codes -> node ids
+    const uint8_t* fwd_codes = a_.read_codes + a_.read_off[r];
+    codes.resize(rlen);
+    if (forward) {
+      std::memcpy(codes.data(), fwd_codes, rlen);
+    } else {
+      for (int64_t i = 0; i < rlen; ++i)
+        codes[i] = 3 - fwd_codes[rlen - 1 - i];
+    }
+    const int64_t n_kmer = rlen - k + 1;
+    const int64_t mask = (int64_t(1) << (2 * k)) - 1;
+    kmers.resize(n_kmer);
+    int64_t code = 0;
+    for (int64_t i = 0; i < k - 1; ++i) code = (code << 2) | codes[i];
+    for (int64_t i = 0; i < n_kmer; ++i) {
+      code = ((code << 2) | codes[i + k - 1]) & mask;
+      kmers[i] = code;
+    }
+    // greedy stride sampling over eligible (solid node AND has positions)
+    sel.clear();
+    int64_t next_ok = 0;
+    for (int64_t p = 0; p < n_kmer; ++p) {
+      if (p < next_ok) continue;
+      if (start[p + 1] == start[p]) continue;
+      if (a_.node_table[kmers[p]] < 0) continue;
+      sel.push_back(p);
+      next_ok = p + a_.outer_sample;
+    }
+    if (sel.empty()) return;
+    int64_t prev_node = -1;
+    int64_t prev_p = -1;
+    for (int64_t p : sel) {
+      const int64_t node = a_.node_table[kmers[p]];
+      for (int64_t j = start[p]; j < start[p + 1]; ++j) {
+        const Triple& t = tri[order[j]];
+        buf.pos_node.push_back(node);
+        buf.pos_ctg.push_back(t.cflat);
+        buf.pos_ref.push_back(t.rflat);
+      }
+      if (prev_node >= 0) {
+        buf.edge_from.push_back(prev_node);
+        buf.edge_to.push_back(node);
+        buf.edge_step.push_back(p - prev_p);
+      }
+      prev_node = node;
+      prev_p = p;
+    }
+  }
+};
+
+int64_t* to_heap(const std::vector<Buf>& bufs,
+                 std::vector<int64_t> Buf::*member, int64_t total) {
+  int64_t* out =
+      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * (total ? total : 1)));
+  if (!out) return nullptr;
+  int64_t at = 0;
+  for (const Buf& b : bufs) {
+    const std::vector<int64_t>& v = b.*member;
+    std::memcpy(out + at, v.data(), v.size() * sizeof(int64_t));
+    at += static_cast<int64_t>(v.size());
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 on allocation failure.  Outputs are malloc'd
+// int64 arrays (free with agp_free); *n_pos / *n_edge give their lengths.
+int64_t agp_ingest_pass(
+    const uint8_t* read_codes, const int64_t* read_off, int64_t n_reads,
+    const int64_t* aln_off, const uint8_t* aln_strand,
+    const uint8_t* aln_walk_fwd, const int64_t* aln_q0, const int64_t* aln_t0,
+    const int32_t* aln_tgt, const int64_t* col_off, const uint8_t* qd,
+    const uint8_t* rd, int64_t pass2, const int64_t* ctg_len,
+    const int64_t* ctg_flat_start, const uint8_t* ctg_fwd,
+    const int64_t* ar_soff, const int64_t* ar_eoff, const int64_t* ar_start,
+    const int64_t* ar_ridx, const int64_t* ar_rpos,
+    const int64_t* ref_flat_start, int64_t ref_flat_group,
+    const int32_t* node_table, int64_t k, int64_t outer_sample,
+    int64_t n_threads, int64_t** pos_node, int64_t** pos_ctg,
+    int64_t** pos_ref, int64_t** edge_from, int64_t** edge_to,
+    int64_t** edge_step, int64_t* n_pos, int64_t* n_edge) {
+  Args a;
+  a.read_codes = read_codes;
+  a.read_off = read_off;
+  a.n_reads = n_reads;
+  a.aln_off = aln_off;
+  a.aln_strand = aln_strand;
+  a.aln_walk_fwd = aln_walk_fwd;
+  a.aln_q0 = aln_q0;
+  a.aln_t0 = aln_t0;
+  a.aln_tgt = aln_tgt;
+  a.col_off = col_off;
+  a.qd = qd;
+  a.rd = rd;
+  a.pass2 = pass2;
+  a.ctg_len = ctg_len;
+  a.ctg_flat_start = ctg_flat_start;
+  a.ctg_fwd = ctg_fwd;
+  a.ar_soff = ar_soff;
+  a.ar_eoff = ar_eoff;
+  a.ar_start = ar_start;
+  a.ar_ridx = ar_ridx;
+  a.ar_rpos = ar_rpos;
+  a.ref_flat_start = ref_flat_start;
+  a.ref_flat_group = ref_flat_group;
+  a.node_table = node_table;
+  a.k = k;
+  a.outer_sample = outer_sample < 1 ? 1 : outer_sample;
+
+  int64_t T = n_threads < 1 ? 1 : n_threads;
+  if (T > n_reads && n_reads > 0) T = n_reads;
+  if (T < 1) T = 1;
+  std::vector<Worker> workers;
+  workers.reserve(T);
+  for (int64_t t = 0; t < T; ++t) workers.emplace_back(a);
+  if (T == 1) {
+    workers[0].run(0, 1);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(T);
+    for (int64_t t = 0; t < T; ++t)
+      pool.emplace_back([&workers, t, T] { workers[t].run(t, T); });
+    for (std::thread& th : pool) th.join();
+  }
+
+  std::vector<Buf> bufs;
+  bufs.reserve(T);
+  for (Worker& w : workers) bufs.push_back(std::move(w.buf));
+  int64_t np = 0, ne = 0;
+  for (const Buf& b : bufs) {
+    np += static_cast<int64_t>(b.pos_node.size());
+    ne += static_cast<int64_t>(b.edge_from.size());
+  }
+  *pos_node = to_heap(bufs, &Buf::pos_node, np);
+  *pos_ctg = to_heap(bufs, &Buf::pos_ctg, np);
+  *pos_ref = to_heap(bufs, &Buf::pos_ref, np);
+  *edge_from = to_heap(bufs, &Buf::edge_from, ne);
+  *edge_to = to_heap(bufs, &Buf::edge_to, ne);
+  *edge_step = to_heap(bufs, &Buf::edge_step, ne);
+  *n_pos = np;
+  *n_edge = ne;
+  if (!*pos_node || !*pos_ctg || !*pos_ref || !*edge_from || !*edge_to ||
+      !*edge_step)
+    return -1;
+  return 0;
+}
+
+void agp_free(int64_t* p) { std::free(p); }
+
+}  // extern "C"

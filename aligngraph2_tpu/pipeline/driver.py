@@ -329,7 +329,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
         pp = PositionProcessor(graph, g_reads, g_ctgs, g_refs, g_r2c,
                                g_r2r, g_c2r, group, cfg.graph)
         pp.pre_process()
-        pp.process(log=log)
+        pp.process(log=log, threads=cfg.runtime.threads)
         st = TravelState(
             graph=graph, ctgs=g_ctgs, refs=g_refs,
             ctg_mapper=pp.ctg_mapper, ref_mapper=pp.ref_mapper,

@@ -1,4 +1,4 @@
-"""Sanitizer exercise driver: runs all four native cores on synthetic
+"""Sanitizer exercise driver: runs all the native cores on synthetic
 data WITHOUT triggering any XLA compilation (XLA:CPU itself aborts under
 ASan interceptors, which would mask real findings in our code).  Invoked
 by tests/test_sanitizers.py in a subprocess with LD_PRELOAD=libasan and
@@ -110,7 +110,7 @@ def main() -> None:
         pp = PositionProcessor(graph, read_db, ctgs, ref_db, r2c, r2r,
                                c2r, group, gcfg)
         pp.pre_process()
-        pp.process(log=lambda *a: None)
+        pp.process(log=lambda *a: None, threads=threads)
         st = TravelState(graph=graph, ctgs=ctgs, refs=ref_db,
                          ctg_mapper=pp.ctg_mapper,
                          ref_mapper=pp.ref_mapper,

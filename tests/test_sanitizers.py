@@ -1,7 +1,8 @@
-"""ASan/UBSan build + exercise of the four native cores (SURVEY.md §5:
+"""ASan/UBSan build + exercise of the native cores (SURVEY.md §5:
 the reference has no sanitizer coverage at all; the threaded cores here
-— traverse.cpp's walk/travel threads, poacns.cpp's window threads — get
-one instrumented run per suite).
+— traverse.cpp's walk/travel threads, poacns.cpp's window threads,
+ingest.cpp's read-striped ingest threads — get one instrumented run per
+suite).
 
 Each .cpp builds with -fsanitize=address,undefined into a temp dir; the
 existing native parity tests then run in a subprocess with
@@ -23,6 +24,7 @@ SOURCES = {
     "libfastio.so": ("fastio.cpp", []),
     "libpoacns.so": ("poacns.cpp", ["-pthread"]),
     "libtraverse.so": ("traverse.cpp", ["-std=c++17", "-pthread"]),
+    "libingest.so": ("ingest.cpp", ["-pthread"]),
 }
 SAN_FLAGS = ["-fsanitize=address,undefined", "-fno-sanitize-recover=all",
              "-g", "-O1"]
@@ -57,7 +59,7 @@ def san_dir(tmp_path_factory):
 
 
 def test_native_cores_clean_under_asan_ubsan(san_dir):
-    """Drive all four instrumented cores via tests/_san_exercise.py —
+    """Drive all instrumented cores via tests/_san_exercise.py —
     a jax-compile-free workload (XLA:CPU itself aborts under ASan, which
     would mask findings in OUR code): FASTA/FASTQ parse, native seed
     hits, graph build + threaded-vs-serial traversal parity, threaded
