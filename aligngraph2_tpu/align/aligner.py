@@ -47,10 +47,13 @@ class LongReadAligner:
 
     def __init__(self, target_db: SeqDatabase, cfg: AlignerConfig,
                  use_pallas: bool | None = None, progress: bool = False,
-                 mesh=None):
+                 mesh=None, checkpoint_path: str | None = None,
+                 checkpoint_flush_s: float = 300.0):
         self.db = target_db
         self.cfg = cfg
         self.mesh = mesh
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_flush_s = checkpoint_flush_s
         if mesh is None:
             self.index = SeedIndex(target_db, cfg.seed_k,
                                    stride=cfg.seed_stride)
@@ -76,6 +79,30 @@ class LongReadAligner:
             self.index, qk_f, qk_r, bin_w=max(cfg.band_width // 2, 32),
             max_candidates=cfg.max_candidates,
             min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta)
+
+    # ---------------- checkpointing ----------------
+
+    def _make_checkpoint(self, read_db, ids, kind: str,
+                         out: AlignmentSet, best_per_read) -> tuple:
+        """(checkpoint, resume cursor): intra-stage resume for long
+        alignment stages (SURVEY.md §5; align/checkpoint.py).  Preloads
+        already-emitted alignments into the running set so the duplicate
+        filter and per-read best table see the same history as an
+        uninterrupted run."""
+        if not self.checkpoint_path:
+            return None, 0
+        from .checkpoint import AlignCheckpoint, stage_token
+        token = stage_token(self.cfg, self.db, read_db,
+                            list(ids) if ids is not None else None) \
+            + "/" + kind
+        ck = AlignCheckpoint(self.checkpoint_path, token,
+                             self.checkpoint_flush_s)
+        cursor, pre = ck.resume()
+        for a in pre:
+            out.append(a)
+            if a.score > best_per_read.get(a.query_name, 0):
+                best_per_read[a.query_name] = a.score
+        return ck, cursor
 
     # ---------------- extension ----------------
 
@@ -115,10 +142,14 @@ class LongReadAligner:
         jobs.sort(key=lambda j: len(j[2]))
         out = AlignmentSet()
         best_per_read: dict[int, int] = {}
+        ck, cursor = self._make_checkpoint(read_db, ids, "single", out,
+                                           best_per_read)
+        watermark = len(out)
         from ..utils.timing import Progress
         bar = Progress(len(jobs), enabled=self.progress)
         batches = []
-        i = 0
+        i = min(cursor, len(jobs))
+        bar.update(i)
         while i < len(jobs):
             NQ = _bucket(len(jobs[i][2]))
             pallas_ok = self.use_pallas and NQ <= 32768
@@ -128,30 +159,42 @@ class LongReadAligner:
                     and _bucket(len(jobs[i][2])) == NQ:
                 batch.append(jobs[i])
                 i += 1
-            batches.append((NQ, pallas_ok, batch))
+            batches.append((NQ, pallas_ok, batch, i))
 
-        pending = None  # (handles, prep) of the in-flight pallas batch
-        for NQ, pallas_ok, batch in batches:
+        def mark(consumed: int) -> None:
+            nonlocal watermark
+            if ck is not None and ck.should_flush():
+                ck.flush(out.alignments[watermark:], consumed)
+                watermark = len(out)
+
+        pending = None  # (handles, prep, cursor) of the in-flight batch
+        for NQ, pallas_ok, batch, end_i in batches:
             if pallas_ok:
                 prep = self._prep_pallas(batch, NQ)
                 handles = self._dispatch_pallas(prep)
                 if pending is not None:
-                    self._finish_pallas(read_db, *pending, out,
-                                        best_per_read)
+                    self._finish_pallas(read_db, pending[0], pending[1],
+                                        out, best_per_read)
                     bar.update(len(pending[1][0]))
-                pending = (handles, prep)
+                    mark(pending[2])
+                pending = (handles, prep, end_i)
             else:
                 if pending is not None:
-                    self._finish_pallas(read_db, *pending, out,
-                                        best_per_read)
+                    self._finish_pallas(read_db, pending[0], pending[1],
+                                        out, best_per_read)
                     bar.update(len(pending[1][0]))
+                    mark(pending[2])
                     pending = None
                 self._extend_batch(read_db, batch, NQ, NQ + 2 * W, out,
                                    best_per_read)
                 bar.update(len(batch))
+                mark(end_i)
         if pending is not None:
-            self._finish_pallas(read_db, *pending, out, best_per_read)
+            self._finish_pallas(read_db, pending[0], pending[1], out,
+                                best_per_read)
             bar.update(len(pending[1][0]))
+        if ck is not None:
+            ck.close()
 
         # delta filter: drop alignments scoring < delta * read best
         # (recovered mecat2ref+ '-y delta' semantics, see seedextend.py)
@@ -395,6 +438,14 @@ class LongReadAligner:
 
         out = AlignmentSet()
         best_per_read: dict[str, int] = {}
+        # chunk partitioning depends on the mesh shape, so the resume
+        # token must too (a resume on a different mesh restarts cleanly)
+        mesh_kind = "mesh" + "x".join(str(int(s))
+                                      for s in mesh.shape.values())
+        ck, ck_cursor = self._make_checkpoint(read_db, ids, mesh_kind, out,
+                                              best_per_read)
+        watermark = len(out)
+        consumed = 0   # reads consumed, in deterministic bucket order
         from ..utils.timing import Progress
         bar = Progress(len(ids), enabled=self.progress)
         for NQ in sorted(buckets):
@@ -407,6 +458,10 @@ class LongReadAligner:
             idsb = buckets[NQ]
             for s in range(0, len(idsb), B):
                 chunk = idsb[s:s + B]
+                if consumed + len(chunk) <= ck_cursor:
+                    consumed += len(chunk)   # resumed past this chunk
+                    bar.update(len(chunk))
+                    continue
                 rows = chunk + [-1] * (B - len(chunk))
                 q_fwd = np.zeros((B, NQ), np.uint8)
                 q_rev = np.zeros((B, NQ), np.uint8)
@@ -500,6 +555,12 @@ class LongReadAligner:
                                    qstr, tstr, qb, qe, rb, re, out,
                                    best_per_read)
                 bar.update(len(chunk))
+                consumed += len(chunk)
+                if ck is not None and ck.should_flush():
+                    ck.flush(out.alignments[watermark:], consumed)
+                    watermark = len(out)
+        if ck is not None:
+            ck.close()
 
         kept = [a for a in out
                 if a.score >= cfg.delta * best_per_read.get(

@@ -140,6 +140,18 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     ctg_path = os.path.realpath(ctg_path)
     genome_path = os.path.realpath(genome_path)
 
+    def part_path(d: str) -> str:
+        """Intra-stage alignment checkpoint file (align/checkpoint.py);
+        rank-suffixed so each host resumes its own shard."""
+        suffix = f".r{rank}" if n_hosts > 1 else ""
+        return os.path.join(d, "stage.part" + suffix)
+
+    def clear_part(d: str) -> None:
+        try:
+            os.remove(part_path(d))
+        except OSError:
+            pass
+
     log("Loading inputs...")
     reads = SeqDatabase.from_file(read_path)
     ctgs = SeqDatabase.from_file(ctg_path)
@@ -181,13 +193,15 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             and os.path.exists(r2c_path)):
         read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
         r2c = LongReadAligner(ctgs, cfg.aligner, mesh=mesh,
-                              progress=cfg.runtime.progress
+                              progress=cfg.runtime.progress,
+                              checkpoint_path=part_path(dirs["mecat_ctg"])
                               ).align_reads(reads, ids=read_ids)
         r2c = gather_alignments(r2c)
         if is_coordinator():
             r2c.write_ref(r2c_path)
             c_cache.save(read_path, ctg_path)
             c_cache.save_args(**aln_args)
+        clear_part(dirs["mecat_ctg"])
         barrier("stage2")
         log(f"Done: {len(r2c)} alignments")
     else:
@@ -206,13 +220,15 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             and os.path.exists(r2r_path)):
         read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
         r2r = LongReadAligner(refs, cfg.aligner, mesh=mesh,
-                              progress=cfg.runtime.progress
+                              progress=cfg.runtime.progress,
+                              checkpoint_path=part_path(dirs["mecat_ref"])
                               ).align_reads(reads, ids=read_ids)
         r2r = gather_alignments(r2r)
         if is_coordinator():
             r2r.write_ref(r2r_path)
             r_cache.save(read_path, genome_path)
             r_cache.save_args(**aln_args)
+        clear_part(dirs["mecat_ref"])
         barrier("stage3")
         log(f"Done: {len(r2r)} alignments")
     else:
@@ -415,13 +431,15 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
             merge_alns = LongReadAligner(
                 all_db, cfg.aligner, mesh=mesh,
-                progress=cfg.runtime.progress).align_reads(reads,
-                                                           ids=read_ids)
+                progress=cfg.runtime.progress,
+                checkpoint_path=part_path(dirs["cns_wrk"])
+                ).align_reads(reads, ids=read_ids)
             merge_alns = gather_alignments(merge_alns)
             if is_coordinator():
                 merge_alns.write_ref(merge_path)
                 w_cache.save(read_path, all_path)
                 w_cache.save_args(**aln_args)
+            clear_part(dirs["cns_wrk"])
             barrier("stage7")
             log(f"Done: {len(merge_alns)} alignments")
 
