@@ -43,8 +43,11 @@ def _tune_host_allocator() -> None:
         import ctypes
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
-        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
-        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        # 8 GB: genome-scale merge scratch (native/ingest.cpp works on
+        # ~1.2 GB blocks at 50M positions) must also stay heap-resident,
+        # or every merge re-pays the first-touch faults
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 33)
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 33)
     except OSError:
         pass
 

@@ -75,8 +75,73 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _pi64, _pi64,
         ]
         lib.agp_free.argtypes = [_pi64]
+        lib.agp_sort3.restype = _i64
+        lib.agp_sort3.argtypes = [_pi64, _pi64, _pi64, _i64, _pi64]
+        lib.agp_merge_pos.restype = _i64
+        lib.agp_merge_pos.argtypes = [
+            _pi64, _pi64, _pi64, _pi64, _i64, _i64, _i64, _i64,
+            _ppi64, _ppi64, _ppi64, _ppi64, _pi64,
+        ]
         _lib = lib
         return _lib
+
+
+def merge_positions_native(node, ctg, ref, cnt, n_nodes: int, eps: int,
+                           threads: int = 0):
+    """(node, ctg, ref, count) after the full epsilon merge, sorted by
+    (node, ctg, ref); None -> caller uses the numpy spec path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    a_node = _c(node, np.int64)
+    a_ctg = _c(ctg, np.int64)
+    a_ref = _c(ref, np.int64)
+    a_cnt = _c(cnt, np.int64)
+    o = [_pi64() for _ in range(4)]
+    out_n = _i64()
+    rc = lib.agp_merge_pos(
+        a_node.ctypes.data_as(_pi64), a_ctg.ctypes.data_as(_pi64),
+        a_ref.ctypes.data_as(_pi64), a_cnt.ctypes.data_as(_pi64),
+        len(a_node), n_nodes, eps, threads,
+        ctypes.byref(o[0]), ctypes.byref(o[1]), ctypes.byref(o[2]),
+        ctypes.byref(o[3]), ctypes.byref(out_n))
+    try:
+        if rc != 0:
+            return None
+        n = int(out_n.value)
+
+        def arr(p):
+            if n == 0:
+                return np.zeros(0, np.int64)
+            return np.ctypeslib.as_array(p, shape=(n,)).copy()
+
+        return arr(o[0]), arr(o[1]), arr(o[2]), arr(o[3])
+    finally:
+        for p in o:
+            if p:
+                lib.agp_free(p)
+
+
+def lexsort3_native(k1, k2, k3) -> Optional[np.ndarray]:
+    """Permutation equivalent to np.lexsort((k3, k2, k1)) via the native
+    radix sort; None -> caller uses numpy.  Keys must be non-negative
+    int64-representable (the graph's node ids and flat coordinates are)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(k1)
+    perm = np.empty(n, np.int64)
+    if n == 0:
+        return perm
+    a1 = _c(k1, np.int64)
+    a2 = _c(k2, np.int64)
+    a3 = _c(k3, np.int64)
+    rc = lib.agp_sort3(a1.ctypes.data_as(_pi64), a2.ctypes.data_as(_pi64),
+                       a3.ctypes.data_as(_pi64), n,
+                       perm.ctypes.data_as(_pi64))
+    return perm if rc == 0 else None
 
 
 def _c(a, dt):

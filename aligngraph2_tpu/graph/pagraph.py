@@ -264,6 +264,16 @@ class PAGraph:
 
     # ---------------- merge phases ----------------
 
+    def _pos_order(self) -> np.ndarray:
+        """Stable (node, ctg, ref) position ordering: native radix sort
+        (~6 counting passes) with the numpy lexsort as spec/fallback —
+        the lexsort was the dominant merge cost at genome scale."""
+        from .ingest_native import lexsort3_native
+        order = lexsort3_native(self.pos_node, self.pos_ctg, self.pos_ref)
+        if order is None:
+            order = np.lexsort((self.pos_ref, self.pos_ctg, self.pos_node))
+        return order
+
     def _flush(self) -> None:
         if self._pos_n:
             buf, n = self._pos_buf, self._pos_n
@@ -322,7 +332,21 @@ class PAGraph:
         before = len(self.pos_node)
         if before == 0:
             return 0
-        order = np.lexsort((self.pos_ref, self.pos_ctg, self.pos_node))
+        # native single-pass merge (bucket by node + per-segment sort +
+        # chain-cluster, native/ingest.cpp agp_merge_pos); the numpy path
+        # below is the specification and fallback — its 50M-wide gather /
+        # similarity temporaries dominated the merge wall at genome scale
+        from .ingest_native import merge_positions_native
+        merged = merge_positions_native(self.pos_node, self.pos_ctg,
+                                        self.pos_ref, self.pos_count,
+                                        self.n_nodes, int(epsilon))
+        if merged is not None:
+            self.pos_node = merged[0]
+            self.pos_ctg = merged[1].astype(np.uint64)
+            self.pos_ref = merged[2].astype(np.uint64)
+            self.pos_count = merged[3]
+            return before - len(self.pos_node)
+        order = self._pos_order()
         node = self.pos_node[order]
         ctg = self.pos_ctg[order]
         ref = self.pos_ref[order]
@@ -349,7 +373,7 @@ class PAGraph:
     def finalize(self) -> None:
         """sortKmerPosition + resetUsedFlag + build CSR offsets."""
         self._flush()
-        order = np.lexsort((self.pos_ref, self.pos_ctg, self.pos_node))
+        order = self._pos_order()
         self.pos_node = self.pos_node[order]
         self.pos_ctg = self.pos_ctg[order]
         self.pos_ref = self.pos_ref[order]

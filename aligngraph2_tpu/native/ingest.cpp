@@ -19,6 +19,7 @@
 // the Python path only in stream order, which the graph's sort-based
 // merge phases erase (tests assert final-graph equality).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
@@ -316,5 +317,181 @@ int64_t agp_ingest_pass(
 }
 
 void agp_free(int64_t* p) { std::free(p); }
+
+// Full epsilon position merge (PABruijnGraph::mergeKmerPosition semantics
+// as specified by graph/pagraph.py merge_positions): bucket positions by
+// node (counting sort — node ids are dense), sort each node's positions
+// by (ctg, ref), then chain-cluster: a new cluster opens where a position
+// is not similar to its predecessor (per-axis: both nonzero and within
+// epsilon, or both zero); the representative is the cluster's first
+// (minimum) member and counts sum with the uint16 CountType cap.  One
+// pass, no 50M-wide temporaries — the numpy spec path's gathers and
+// similarity masks dominated the merge wall at genome scale.
+// Returns 0, or -1 on allocation failure.
+int64_t agp_merge_pos(const int64_t* node, const int64_t* ctg,
+                      const int64_t* ref, const int64_t* cnt, int64_t n,
+                      int64_t n_nodes, int64_t eps, int64_t n_threads,
+                      int64_t** out_node, int64_t** out_ctg,
+                      int64_t** out_ref, int64_t** out_cnt,
+                      int64_t* out_n) {
+  struct Rec {
+    uint64_t ctg, ref;
+    int64_t cnt;
+  };
+  if (n <= 0) {
+    *out_node = *out_ctg = *out_ref = *out_cnt = nullptr;
+    *out_n = 0;
+    return 0;
+  }
+  int64_t* off =
+      static_cast<int64_t*>(std::calloc(n_nodes + 1, sizeof(int64_t)));
+  Rec* recs = static_cast<Rec*>(std::malloc(sizeof(Rec) * n));
+  if (!off || !recs) {
+    std::free(off);
+    std::free(recs);
+    return -1;
+  }
+  for (int64_t i = 0; i < n; ++i) ++off[node[i] + 1];
+  for (int64_t b = 0; b < n_nodes; ++b) off[b + 1] += off[b];
+  {
+    std::vector<int64_t> cur(off, off + n_nodes);
+    for (int64_t i = 0; i < n; ++i) {
+      recs[cur[node[i]]++] = {static_cast<uint64_t>(ctg[i]),
+                              static_cast<uint64_t>(ref[i]), cnt[i]};
+    }
+  }
+  // per-bucket sort + chain-cluster, compacting in place; buckets stripe
+  // over threads (each thread owns disjoint buckets, writes only inside
+  // its own buckets and counts its own output)
+  int64_t T = n_threads < 1 ? 1 : n_threads;
+  if (T > n_nodes) T = n_nodes;
+  std::vector<int64_t> kept(n_nodes, 0);
+  auto work = [&](int64_t t0) {
+    for (int64_t b = t0; b < n_nodes; b += T) {
+      const int64_t lo = off[b], hi = off[b + 1];
+      if (lo == hi) continue;
+      std::sort(recs + lo, recs + hi, [](const Rec& a, const Rec& r) {
+        return a.ctg != r.ctg ? a.ctg < r.ctg : a.ref < r.ref;
+      });
+      // chain-cluster against the pre-compaction SORTED predecessor
+      // (not the cluster representative), exactly like the numpy spec's
+      // pairwise boundary mask; compaction writes at w < i, so cur is
+      // copied before any write can touch it
+      int64_t w = lo;
+      Rec prev = recs[lo];
+      for (int64_t i = lo + 1; i < hi; ++i) {
+        const Rec cur = recs[i];
+        const bool s1 = prev.ctg != 0 && cur.ctg != 0 &&
+                        (prev.ctg > cur.ctg ? prev.ctg - cur.ctg
+                                            : cur.ctg - prev.ctg) <=
+                            static_cast<uint64_t>(eps);
+        const bool s2 = prev.ref != 0 && cur.ref != 0 &&
+                        (prev.ref > cur.ref ? prev.ref - cur.ref
+                                            : cur.ref - prev.ref) <=
+                            static_cast<uint64_t>(eps);
+        const bool sim1 = s1 || (prev.ctg == 0 && cur.ctg == 0);
+        const bool sim2 = s2 || (prev.ref == 0 && cur.ref == 0);
+        if (sim1 && sim2) {
+          recs[w].cnt += cur.cnt;
+        } else {
+          recs[++w] = cur;
+        }
+        prev = cur;
+      }
+      kept[b] = w + 1 - lo;
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+    for (std::thread& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (int64_t b = 0; b < n_nodes; ++b) total += kept[b];
+  int64_t* on = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int64_t* oc = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int64_t* orf = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int64_t* ocnt =
+      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  if (!on || !oc || !orf || !ocnt) {
+    std::free(off);
+    std::free(recs);
+    std::free(on);
+    std::free(oc);
+    std::free(orf);
+    std::free(ocnt);
+    return -1;
+  }
+  int64_t at = 0;
+  for (int64_t b = 0; b < n_nodes; ++b) {
+    const int64_t lo = off[b];
+    for (int64_t i = 0; i < kept[b]; ++i, ++at) {
+      on[at] = b;
+      oc[at] = static_cast<int64_t>(recs[lo + i].ctg);
+      orf[at] = static_cast<int64_t>(recs[lo + i].ref);
+      const int64_t c = recs[lo + i].cnt;
+      ocnt[at] = c > 0xFFFF ? 0xFFFF : c;
+    }
+  }
+  std::free(off);
+  std::free(recs);
+  *out_node = on;
+  *out_ctg = oc;
+  *out_ref = orf;
+  *out_cnt = ocnt;
+  *out_n = total;
+  return 0;
+}
+
+// Stable LSD radix argsort over three int64 keys, equivalent to
+// np.lexsort((k3, k2, k1)) — primary k1, secondary k2, tertiary k3 —
+// which is the graph's position ordering (node, ctg, ref).  16-bit
+// digits, only as many passes per key as its maximum needs; ~6 passes
+// at genome scale vs numpy's three full mergesorts (measured 179 s ->
+// seconds on a 50M-position merge).  Returns 0, or -1 on alloc failure.
+int64_t agp_sort3(const int64_t* k1, const int64_t* k2, const int64_t* k3,
+                  int64_t n, int64_t* perm) {
+  if (n <= 0) return 0;
+  int64_t* tmp =
+      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * n));
+  if (!tmp) return -1;
+  for (int64_t i = 0; i < n; ++i) perm[i] = i;
+  int64_t* src = perm;
+  int64_t* dst = tmp;
+  std::vector<int64_t> count(1 << 16);
+  const int64_t* keys[3] = {k3, k2, k1};  // least-significant key first
+  for (const int64_t* key : keys) {
+    int64_t mx = 0, mn = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (key[i] > mx) mx = key[i];
+      if (key[i] < mn) mn = key[i];
+    }
+    if (mn < 0) {  // radix digits assume non-negative keys
+      std::free(tmp);
+      return -2;
+    }
+    if (mx == 0) continue;  // constant key: stable order already holds
+    for (int shift = 0; (mx >> shift) != 0 || shift == 0; shift += 16) {
+      std::fill(count.begin(), count.end(), 0);
+      for (int64_t i = 0; i < n; ++i)
+        ++count[(key[src[i]] >> shift) & 0xFFFF];
+      int64_t at = 0;
+      for (int64_t b = 0; b < (1 << 16); ++b) {
+        const int64_t c = count[b];
+        count[b] = at;
+        at += c;
+      }
+      for (int64_t i = 0; i < n; ++i)
+        dst[count[(key[src[i]] >> shift) & 0xFFFF]++] = src[i];
+      std::swap(src, dst);
+      if ((mx >> (shift + 16)) == 0) break;
+    }
+  }
+  if (src != perm) std::memcpy(perm, src, sizeof(int64_t) * n);
+  std::free(tmp);
+  return 0;
+}
 
 }  // extern "C"

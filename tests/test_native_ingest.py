@@ -83,6 +83,63 @@ def test_native_matches_python_single_thread(state):
         assert pp_py.stats[key] == pp_nat.stats[key], key
 
 
+def test_radix_lexsort_matches_numpy():
+    from aligngraph2_tpu.graph.ingest_native import lexsort3_native
+    rng = np.random.default_rng(3)
+    for n, hi in ((0, 10), (1, 1), (1000, 4), (200000, 1 << 40)):
+        k1 = rng.integers(0, max(hi, 1), n).astype(np.int64)
+        k2 = rng.integers(0, max(hi // 2, 1), n).astype(np.int64)
+        k3 = rng.integers(0, 7, n).astype(np.int64)
+        got = lexsort3_native(k1, k2, k3)
+        assert got is not None
+        want = np.lexsort((k3, k2, k1))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_merge_positions_matches_numpy(monkeypatch):
+    """Fuzz the single-pass native epsilon merge against the numpy spec
+    path (zeros, duplicates, epsilon-boundary values, count saturation)."""
+    from aligngraph2_tpu.graph import ingest_native
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        n_nodes = int(rng.integers(1, 40))
+        n = int(rng.integers(0, 4000))
+        eps = int(rng.integers(0, 12))
+        node = rng.integers(0, n_nodes, n).astype(np.int64)
+        ctg = rng.choice([0, 1, 5, 9, 10, 11, 100, 2**33], n).astype(
+            np.int64)
+        ref = rng.choice([0, 2, 7, 8, 9, 50, 2**34], n).astype(np.int64)
+        cnt = rng.integers(1, 0xFFFF, n).astype(np.int64)
+
+        def build(use_native):
+            g = PAGraph(np.arange(n_nodes), 5)
+            g.append_positions(node, ctg, ref)
+            g._flush()
+            g.pos_count = cnt.copy()
+            if not use_native:
+                monkeypatch.setattr(ingest_native,
+                                    "merge_positions_native",
+                                    lambda *a, **k: None)
+            removed = g.merge_positions(eps)
+            monkeypatch.undo()
+            return g, removed
+
+        g_nat, rem_nat = build(True)
+        g_py, rem_py = build(False)
+        assert rem_nat == rem_py, trial
+        np.testing.assert_array_equal(g_nat.pos_node, g_py.pos_node)
+        np.testing.assert_array_equal(g_nat.pos_ctg, g_py.pos_ctg)
+        np.testing.assert_array_equal(g_nat.pos_ref, g_py.pos_ref)
+        np.testing.assert_array_equal(g_nat.pos_count, g_py.pos_count)
+
+
+def test_radix_lexsort_rejects_negative():
+    from aligngraph2_tpu.graph.ingest_native import lexsort3_native
+    k = np.array([3, -1, 2], np.int64)
+    z = np.zeros(3, np.int64)
+    assert lexsort3_native(k, z, z) is None
+
+
 def test_native_thread_count_invariant(state):
     g1, _ = _build(state, use_native=True, threads=1)
     g4, _ = _build(state, use_native=True, threads=4)
