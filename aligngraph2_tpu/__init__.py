@@ -42,13 +42,17 @@ def _tune_host_allocator() -> None:
     try:
         import ctypes
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt.argtypes = [ctypes.c_int, ctypes.c_int]
+        libc.mallopt.restype = ctypes.c_int
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
-        # 8 GB: genome-scale merge scratch (native/ingest.cpp works on
-        # ~1.2 GB blocks at 50M positions) must also stay heap-resident,
-        # or every merge re-pays the first-touch faults
-        libc.mallopt(M_TRIM_THRESHOLD, 1 << 33)
-        libc.mallopt(M_MMAP_THRESHOLD, 1 << 33)
-    except OSError:
+        # mallopt's value is a C int, so the largest representable
+        # threshold is INT_MAX (~2 GB); that already keeps the GB-scale
+        # merge scratch (native/ingest.cpp works on ~1.2 GB blocks at
+        # 50M positions) heap-resident instead of re-paying first-touch
+        # faults on every mmap/munmap cycle.
+        libc.mallopt(M_TRIM_THRESHOLD, 0x7FFFFFFF)
+        libc.mallopt(M_MMAP_THRESHOLD, 0x7FFFFFFF)
+    except (OSError, ctypes.ArgumentError):
         pass
 
 

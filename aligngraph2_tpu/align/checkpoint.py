@@ -61,47 +61,63 @@ class AlignCheckpoint:
         self._last_flush = None   # perf_counter of last flush
         self._f = None
         self._reset = False       # stale token: truncate on first flush
+        self._intact_end = None   # byte offset of end of last intact chunk
 
     # ---------------- resume ----------------
 
     def resume(self) -> Tuple[int, AlignmentSet]:
         """(job cursor, alignments so far) from an intact part file;
-        (0, empty) when absent, token-mismatched, or unreadable."""
+        (0, empty) when absent, token-mismatched, or unreadable.
+
+        Reads in binary mode so the byte offset of the end of the last
+        *intact* chunk is exact; ``flush()`` truncates the file back to
+        that offset before appending, so a crash-truncated tail can never
+        be followed by valid chunks (which would frame-shift or silently
+        drop every later resume)."""
         out = AlignmentSet()
         cursor = 0
         try:
-            with open(self.path, "r", errors="ignore") as f:
-                head = f.readline().rstrip("\n").split()
+            with open(self.path, "rb") as f:
+                head = f.readline().decode("utf-8", "ignore").split()
                 if len(head) != 2 or head[0] != "#TOKEN" \
                         or head[1] != self.token:
                     self._reset = True
                     return 0, AlignmentSet()
+                self._intact_end = f.tell()
                 while True:
-                    mark = f.readline()
+                    mark = f.readline().decode("utf-8", "ignore")
                     if not mark:
                         break
                     parts = mark.split()
                     if len(parts) != 3 or parts[0] != "#CHUNK":
                         break
-                    n, cur = int(parts[1]), int(parts[2])
+                    try:
+                        n, cur = int(parts[1]), int(parts[2])
+                    except ValueError:
+                        break   # corrupt mark: degrade to the intact prefix
                     lines = []
                     ok = True
                     for _ in range(3 * n):
                         ln = f.readline()
-                        if not ln.endswith("\n"):
+                        if not ln.endswith(b"\n"):
                             ok = False   # truncated mid-chunk: stop here
                             break
-                        lines.append(ln)
+                        lines.append(ln.decode("utf-8", "ignore"))
                     if not ok:
                         break
-                    chunk = AlignmentSet.read_ref_file(
-                        io.StringIO("".join(lines)))
+                    try:
+                        chunk = AlignmentSet.read_ref_file(
+                            io.StringIO("".join(lines)))
+                    except ValueError:
+                        break
                     if len(chunk) != n:
                         break
                     for a in chunk:
                         out.append(a)
                     cursor = cur
+                    self._intact_end = f.tell()
         except OSError:
+            self._intact_end = None
             return 0, AlignmentSet()
         return cursor, out
 
@@ -119,6 +135,11 @@ class AlignCheckpoint:
         if self._f is None:
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             fresh = self._reset or not os.path.exists(self.path)
+            if not fresh and self._intact_end is not None:
+                # Drop any crash-truncated tail before appending, so the
+                # file never holds a partial chunk followed by valid ones.
+                with open(self.path, "r+b") as tf:
+                    tf.truncate(self._intact_end)
             self._f = open(self.path, "w" if self._reset else "a")
             if fresh or os.path.getsize(self.path) == 0:
                 self._f.write(f"#TOKEN {self.token}\n")

@@ -11,9 +11,10 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional
+
+from ..utils.nativebuild import ensure_lib
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
@@ -28,15 +29,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
-    try:
-        res = subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             _SRC, "-o", _SO],
-            capture_output=True, timeout=300)
-        return res.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
+_FLAGS = ["-O2", "-std=c++17", "-shared", "-fPIC", "-pthread"]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -45,10 +38,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        if os.environ.get("ALIGNGRAPH2_TPU_NATIVE_DIR"):
+            # explicit override (e.g. sanitizer-instrumented builds):
+            # trust the provided .so as-is
+            if not os.path.exists(_SO):
                 return None
+        elif not ensure_lib(_SRC, _SO, _FLAGS):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

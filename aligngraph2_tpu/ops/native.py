@@ -9,11 +9,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional, Tuple
 
 import numpy as np
+
+from ..utils.nativebuild import ensure_lib
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
@@ -34,14 +35,7 @@ _pu16 = ctypes.POINTER(ctypes.c_uint16)
 _pu8 = ctypes.POINTER(ctypes.c_uint8)
 
 
-def _build() -> bool:
-    try:
-        res = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-            capture_output=True, timeout=300)
-        return res.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
+_FLAGS = ["-O3", "-shared", "-fPIC"]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -50,10 +44,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        if os.environ.get("ALIGNGRAPH2_TPU_NATIVE_DIR"):
+            # explicit override (e.g. sanitizer-instrumented builds):
+            # trust the provided .so as-is
+            if not os.path.exists(_SO):
                 return None
+        elif not ensure_lib(_SRC, _SO, _FLAGS):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

@@ -10,11 +10,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+from ..utils.nativebuild import ensure_lib
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
@@ -34,15 +35,7 @@ _pu64 = ctypes.POINTER(ctypes.c_uint64)
 _pu8 = ctypes.POINTER(ctypes.c_uint8)
 
 
-def _build() -> bool:
-    try:
-        res = subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
-             "-o", _SO],
-            capture_output=True, timeout=300)
-        return res.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
+_FLAGS = ["-O2", "-std=c++17", "-shared", "-fPIC"]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -51,10 +44,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        if os.environ.get("ALIGNGRAPH2_TPU_NATIVE_DIR"):
+            # explicit override (e.g. sanitizer-instrumented builds):
+            # trust the provided .so as-is
+            if not os.path.exists(_SO):
                 return None
+        elif not ensure_lib(_SRC, _SO, _FLAGS):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

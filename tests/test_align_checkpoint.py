@@ -78,6 +78,52 @@ def test_truncated_mid_chunk_falls_back_to_last_complete(tmp_path, data):
     assert _tuples(resumed) == data["fresh"]
 
 
+def test_flush_truncates_crash_torn_tail(tmp_path, data):
+    """A crash-truncated partial chunk must be cut off before new chunks
+    are appended — otherwise every later resume stops at the torn chunk
+    (or worse, frame-shifts into the appended ones)."""
+    from aligngraph2_tpu.align.checkpoint import AlignCheckpoint
+    from aligngraph2_tpu.align.records import AlignmentSet
+
+    part = str(tmp_path / "stage.part")
+    LongReadAligner(data["refs"], data["cfg"], checkpoint_path=part,
+                    checkpoint_flush_s=0.0).align_reads(data["reads"])
+    with open(part) as f:
+        token = f.readline().split()[1]
+    # tear the tail mid-record (crash simulation), keeping >=1 intact chunk
+    cursor = _truncate_to_first_chunk(part)
+    with open(part, "a") as f:
+        f.write("#CHUNK 2 999\nr7 ref F 5")  # torn: header + partial rec
+
+    ck = AlignCheckpoint(part, token, flush_s=0.0)
+    cur1, alns1 = ck.resume()
+    assert cur1 == cursor and len(alns1) > 0
+    # append a fresh chunk after the torn tail; it must land right after
+    # the last INTACT chunk, not after the garbage
+    extra = AlignmentSet(list(alns1)[:2])
+    ck.flush(list(extra), cursor + 5)
+    ck.close()
+    cur2, alns2 = AlignCheckpoint(part, token).resume()
+    assert cur2 == cursor + 5
+    assert len(alns2) == len(alns1) + 2
+
+
+def test_corrupt_chunk_mark_degrades_to_intact_prefix(tmp_path, data):
+    """A mark line like '#CHUNK 12 4x' must not crash resume() — it
+    degrades to the chunks before it (ADVICE r2, ValueError path)."""
+    from aligngraph2_tpu.align.checkpoint import AlignCheckpoint
+    part = str(tmp_path / "stage.part")
+    LongReadAligner(data["refs"], data["cfg"], checkpoint_path=part,
+                    checkpoint_flush_s=0.0).align_reads(data["reads"])
+    with open(part) as f:
+        token = f.readline().split()[1]
+    cursor = _truncate_to_first_chunk(part)
+    with open(part, "a") as f:
+        f.write("#CHUNK 12 4x\n")
+    cur, alns = AlignCheckpoint(part, token).resume()
+    assert cur == cursor and len(alns) > 0
+
+
 def test_stale_token_restarts_cleanly(tmp_path, data):
     part = str(tmp_path / "stage.part")
     LongReadAligner(data["refs"], data["cfg"], checkpoint_path=part,
