@@ -15,9 +15,12 @@ banded DP kernel, and emit 3-line ".ref"-compatible alignment records.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Sequence
 
 import numpy as np
+
+logger = logging.getLogger("aligngraph2_tpu.align")
 
 from ..config import AlignerConfig
 from ..io.seqdb import SeqDatabase, revcomp_codes
@@ -113,7 +116,15 @@ class LongReadAligner:
         if ids is None:
             ids = range(len(read_db))
         # ultra-long outliers would explode the padded DP stream; skip them
+        ids = list(ids)
+        n_before = len(ids)
         ids = [r for r in ids if read_db.size(r) <= cfg.max_read_len]
+        self.n_skipped_long = n_before - len(ids)
+        if self.n_skipped_long:
+            logger.warning(
+                "skipping %d read(s) longer than max_read_len=%d "
+                "(raise AlignerConfig.max_read_len to align them)",
+                self.n_skipped_long, cfg.max_read_len)
         if self.mesh is not None:
             return self._align_reads_sharded(read_db, ids)
 
@@ -201,6 +212,10 @@ class LongReadAligner:
         kept = [a for a in out
                 if a.score >= cfg.delta * best_per_read.get(
                     a.query_name, a.score)]
+        n_dup = getattr(self, "n_dedup_suppressed", 0)
+        if n_dup:
+            logger.info("suppressed %d duplicate alignment(s) "
+                        "(last-%d-record window)", n_dup, 8)
         res = AlignmentSet(kept)
         res.sort_by_score()
         return res
@@ -240,6 +255,8 @@ class LongReadAligner:
             rb=rb, re=re, rsize=self.db.size(cand.tid),
             qstr=qstr, tstr=tstr)
         if self._is_duplicate(out, a):
+            self.n_dedup_suppressed = getattr(
+                self, "n_dedup_suppressed", 0) + 1
             return
         out.append(a)
         if score > best_per_read.get(a.query_name, 0):
@@ -286,15 +303,19 @@ class LongReadAligner:
 
     def _finish_pallas(self, read_db: SeqDatabase, handles, prep,
                        out: AlignmentSet, best_per_read) -> None:
-        """Host stage: sync, expand the packed moves, emit records."""
-        from ..ops.banded_pallas import expand_packed_moves
+        """Host stage: sync (two combined transfers — each host fetch is
+        a ~25 ms round trip through the device relay), expand the packed
+        moves (native core), emit records."""
+        from ..ops.banded_pallas import (expand_moves,
+                                         fetch_packed_traceback)
         batch, NQ, W, q, qlen, t, starts = prep
         score_d, best_i_d, best_j_d, runs, mvs, it = handles
-        scores = np.asarray(score_d)
-        moves, nmoves, si, sj = expand_packed_moves(
-            np.asarray(runs), np.asarray(mvs), int(np.asarray(it)),
-            np.asarray(best_i_d), np.asarray(best_j_d),
+        rows, runs_h, mvs_h, C = fetch_packed_traceback(
+            runs, mvs, it, score_d, best_i_d, best_j_d,
             max_steps=2 * NQ + W)
+        scores = rows[0]
+        moves, nmoves, si, sj = expand_moves(
+            runs_h, mvs_h, C, rows[1], rows[2], max_steps=2 * NQ + W)
         for b, (rid, cand, codes) in enumerate(batch):
             score = int(scores[b])
             if score <= 0:
@@ -565,6 +586,10 @@ class LongReadAligner:
         kept = [a for a in out
                 if a.score >= cfg.delta * best_per_read.get(
                     a.query_name, a.score)]
+        n_dup = getattr(self, "n_dedup_suppressed", 0)
+        if n_dup:
+            logger.info("suppressed %d duplicate alignment(s) "
+                        "(last-%d-record window)", n_dup, 8)
         res = AlignmentSet(kept)
         res.sort_by_score()
         return res

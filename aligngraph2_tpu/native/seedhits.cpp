@@ -13,6 +13,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
 #include <utility>
 #include <vector>
 
@@ -229,6 +230,47 @@ int64_t ags_stride_sample(const int64_t* eligible, int64_t n,
         } while (i < n && eligible[i] < next);
     }
     return n_sel;
+}
+
+// Traceback run-length expansion (ops/banded_pallas.expand_packed_moves
+// is the numpy specification; this is the production path — the numpy
+// expansion of a 1024-lane batch costs ~160 ms on a 2-vCPU host, ~40%
+// of the whole DP+traceback wall).  Per lane b, the device walk emitted
+// per-iteration codes: runs[b,it] DIAG moves then mvs[b,it] (if
+// nonzero); expand into the dense END->START move matrix truncated at
+// max_steps, and derive (n_moves, start_i, start_j) from the truncated
+// counts exactly as the spec does.
+void agx_expand(const uint8_t* runs, const uint8_t* mvs, int64_t B,
+                int64_t C, int64_t stride, const int32_t* best_i,
+                const int32_t* best_j, int64_t max_steps, uint8_t* moves,
+                int32_t* n_out, int32_t* si_out, int32_t* sj_out) {
+    const uint8_t DIAG = 1, UP = 2, LEFT = 3;
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* rb = runs + (size_t)b * (size_t)stride;
+        const uint8_t* mb = mvs + (size_t)b * (size_t)stride;
+        uint8_t* out = moves + (size_t)b * (size_t)max_steps;
+        int64_t n = 0, ndiag = 0, nup = 0, nleft = 0;
+        for (int64_t it = 0; it < C && n < max_steps; ++it) {
+            int64_t r = rb[it];
+            if (r > max_steps - n) r = max_steps - n;
+            if (r > 0) {
+                std::memset(out + n, DIAG, (size_t)r);
+                n += r;
+                ndiag += r;
+            }
+            const uint8_t mv = mb[it];
+            if (mv != 0 && n < max_steps) {
+                out[n++] = mv;
+                if (mv == DIAG) ++ndiag;
+                else if (mv == UP) ++nup;
+                else if (mv == LEFT) ++nleft;
+            }
+        }
+        std::memset(out + n, 0, (size_t)(max_steps - n));
+        n_out[b] = (int32_t)n;
+        si_out[b] = best_i[b] - (int32_t)(ndiag + nup);
+        sj_out[b] = best_j[b] - (int32_t)nleft + (int32_t)nup;
+    }
 }
 
 }  // extern "C"

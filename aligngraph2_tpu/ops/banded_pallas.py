@@ -52,11 +52,12 @@ T_SENTINEL = 255
 
 
 def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
-               best_scr, alive_scr, sub_scr, *, K, W, match, mismatch,
-               gap, ks_shifts, x_drop):
+               bcol_scr, brow_scr, alive_scr, sub_scr, *, K, W, match,
+               mismatch, gap, ks_shifts, x_drop):
     """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; qlen_ref (1, TB) i32;
     best_ref (8, TB) i32; words_ref (K/16, W, TB) i32; H_scr (W, TB) i32;
-    best_scr (8, TB) i32; alive_scr (1, 1) i32 SMEM; sub_scr (K, W, TB) i8.
+    bcol_scr/brow_scr (W, TB) i32; alive_scr (1, 1) i32 SMEM;
+    sub_scr (K, W, TB) i8.
 
     Directions leave the kernel PRE-PACKED: 16 consecutive rows' 2-bit
     codes accumulate in a VMEM register block and land in HBM as one
@@ -64,10 +65,21 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
     rows (the dirs stream is the kernel's dominant HBM cost) and no
     separate repack pass before the traceback walk.
 
-    Per-row dynamic indexing only touches LEADING dims of >=3-D refs
-    (sub_scr reads, words_ref writes) — the tiled trailing dims see only
-    static or whole-block accesses, which keeps Mosaic's tile-alignment
-    rules satisfied.
+    Best-cell tracking is COLUMN-WISE: per band column, the running max
+    (bcol) and the first row that attained it (brow, strict-> update).
+    That is 3 cheap (W, TB) vector ops per row instead of two
+    log2(W)-step cross-sublane reductions; one final reduction at the
+    last chunk recovers exactly the scan path's (score, best_i, best_j)
+    semantics — first row to reach the global max, then min column: the
+    first global attainment is some column's first attainment, so
+    min-over-max-score-columns of brow is that row, and every column
+    holding the max at that row has brow == that row (an earlier brow
+    would contradict minimality).
+
+    Substitution rows are staged into an int8 VMEM scratch first (phase
+    1): Mosaic needs the slab[r:r+W] sublane slices static, and fully
+    unrolling all K rows instead blows up compile time; per-row dynamic
+    indexing then only touches the LEADING dim of the >=3-D scratch.
 
     x_drop > 0 adds tile-level early exit: once EVERY lane of the batch
     tile is dead (its rows ran past qlen, or — after it started scoring —
@@ -81,7 +93,8 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
     @pl.when(chunk == 0)
     def _init():
         H_scr[:] = jnp.zeros_like(H_scr)
-        best_scr[:] = jnp.zeros_like(best_scr)
+        bcol_scr[:] = jnp.zeros_like(bcol_scr)
+        brow_scr[:] = jnp.zeros_like(brow_scr)
         if x_drop > 0:
             alive_scr[0, 0] = 1
 
@@ -94,12 +107,9 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                 t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
                 mismatch).astype(jnp.int8)
 
-        row_idx8 = jax.lax.broadcasted_iota(jnp.int32, best_scr.shape, 0)
-        j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
-
         # phase 2: sequential DP rows, 16 per packed word
         def word_loop(w, carry):
-            H, best = carry
+            H, bcol, brow = carry
             acc = jnp.zeros((W, TB), jnp.int32)
             for s in range(16):                       # static unroll
                 r = w * 16 + s
@@ -121,31 +131,27 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                     H = jnp.maximum(H, shifted + gap * sh)
                 code = jnp.where(H > M, LEFT, m_dir)
                 acc = acc | (code << (2 * s))
-                # best tracking rows of (8, TB): 0 = score, 1 = i, 2 = j
-                r_max = jnp.max(H, axis=0, keepdims=True)      # (1, TB)
-                r_arg = jnp.min(jnp.where(H == r_max, j_idx, W), axis=0,
-                                keepdims=True)
-                upd = r_max > best[0:1, :]
-                cand = jnp.where(row_idx8 == 0, r_max,
-                                 jnp.where(row_idx8 == 1,
-                                           jnp.full_like(r_max, i),
-                                           r_arg))
-                best = jnp.where((row_idx8 <= 2) & upd, cand, best)
+                upd = H > bcol
+                bcol = jnp.maximum(bcol, H)
+                brow = jnp.where(upd, i, brow)
             words_ref[w, :, :] = acc
-            return H, best
+            return H, bcol, brow
 
-        H, best = jax.lax.fori_loop(0, K // 16, word_loop,
-                                    (H_scr[:], best_scr[:]))
+        H, bcol, brow = jax.lax.fori_loop(
+            0, K // 16, word_loop, (H_scr[:], bcol_scr[:], brow_scr[:]))
         H_scr[:] = H
-        best_scr[:] = best
+        bcol_scr[:] = bcol
+        brow_scr[:] = brow
         if x_drop > 0:
             # lane alive for the NEXT chunk: rows left before qlen, and
             # (not started scoring yet) or (frontier within x_drop of best)
             frontier = jnp.max(H, axis=0, keepdims=True)       # (1, TB)
+            best_sc = jnp.max(bcol, axis=0, keepdims=True)     # (1, TB)
             qlen = qlen_ref[:]                                 # (1, TB)
             next_i = (chunk + 1) * K + 1
             lane_alive = (next_i <= qlen) & (
-                (best[0:1, :] == 0) | (frontier >= best[0:1, :] - x_drop))
+                (best_sc[0:1, :] == 0)
+                | (frontier >= best_sc[0:1, :] - x_drop))
             alive_scr[0, 0] = jnp.any(lane_alive).astype(jnp.int32)
 
     if x_drop > 0:
@@ -154,7 +160,24 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
             compute()
     else:
         compute()
-    best_ref[:] = best_scr[:]
+
+    @pl.when(chunk == pl.num_programs(1) - 1)
+    def _finalize():
+        # one cross-sublane reduction per lane tile for the whole query
+        bcol = bcol_scr[:]
+        brow = brow_scr[:]
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+        S = jnp.max(bcol, axis=0, keepdims=True)               # (1, TB)
+        mask = bcol == S
+        istar = jnp.min(jnp.where(mask, brow, 1 << 30), axis=0,
+                        keepdims=True)
+        jstar = jnp.min(jnp.where(mask & (brow == istar), j_idx, W),
+                        axis=0, keepdims=True)
+        istar = jnp.where(S > 0, istar, 0)
+        jstar = jnp.where(S > 0, jstar, 0)
+        row_idx8 = jax.lax.broadcasted_iota(jnp.int32, best_ref.shape, 0)
+        best_ref[:] = jnp.where(
+            row_idx8 == 0, S, jnp.where(row_idx8 == 1, istar, jstar))
 
 
 class PallasBandedResult(NamedTuple):
@@ -217,10 +240,11 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
             jax.ShapeDtypeStruct((NQ // 16, W, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, TB), jnp.int32),
-            pltpu.VMEM((8, TB), jnp.int32),
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.VMEM((K, W, TB), jnp.int8),
+            pltpu.VMEM((W, TB), jnp.int32),   # H
+            pltpu.VMEM((W, TB), jnp.int32),   # bcol
+            pltpu.VMEM((W, TB), jnp.int32),   # brow
+            pltpu.SMEM((1, 1), jnp.int32),    # alive
+            pltpu.VMEM((K, W, TB), jnp.int8),  # staged substitution rows
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -378,15 +402,66 @@ def expand_packed_moves(runs, mvs, it_count, best_i, best_j, max_steps):
     return moves, n.astype(np.int32), si, sj
 
 
+@jax.jit
+def _tb_meta(it, *rows):
+    """One (1+len(rows), B) int32 device array: iteration count broadcast
+    in row 0, then each extra per-lane row — a single host fetch replaces
+    one ~25 ms relay round trip per array."""
+    rows = [r.astype(jnp.int32) for r in rows]
+    return jnp.stack([jnp.full_like(rows[0], it)] + rows)
+
+
+@functools.partial(jax.jit, static_argnames=("Cp",))
+def _tb_body(runs, mvs, Cp):
+    return jnp.concatenate([runs[:, :Cp], mvs[:, :Cp]], axis=0)
+
+
+def fetch_packed_traceback(runs, mvs, it, *rows, max_steps):
+    """Bring a packed-traceback result to the host in TWO transfers.
+
+    Only the USED prefix of the run-length buffers crosses the host
+    boundary: the device walk typically terminates after ~max_steps /
+    mean-DIAG-run iterations, and shipping the full (B, max_steps+1)
+    buffers over a remote-device link costs more than the whole DP
+    (measured 1.4 s vs 97 ms kernel at B=1024, NQ=8192).  The prefix
+    length is bucketed to multiples of 256 so the device slice compiles
+    a bounded number of shapes.  ``rows`` are extra per-lane int32 device
+    arrays (scores, best cells, ...) that ride the first transfer.
+
+    Returns (rows_host (len(rows), B) int32, runs_h, mvs_h, C)."""
+    meta = np.asarray(_tb_meta(it, *rows))
+    C = int(meta[0, 0])
+    B = runs.shape[0]
+    MI = max_steps + 1
+    Cp = min(MI, ((max(C, 1) + 255) // 256) * 256)
+    body = np.asarray(_tb_body(runs, mvs, Cp))
+    return meta[1:], body[:B], body[B:], min(C, Cp)
+
+
+def expand_moves(runs_h, mvs_h, it_count, best_i, best_j, max_steps):
+    """Run-length -> dense move matrix: native core when available
+    (ops/native.py agx_expand), numpy spec otherwise — identical output
+    (tests/test_banded_pallas.py)."""
+    from .native import expand_moves_native
+    res = expand_moves_native(runs_h, mvs_h, it_count, best_i, best_j,
+                              max_steps)
+    if res is not None:
+        return res
+    return expand_packed_moves(runs_h, mvs_h, it_count,
+                               np.asarray(best_i, np.int32),
+                               np.asarray(best_j, np.int32), max_steps)
+
+
 def traceback_fast(words, best_i, best_j, *, max_steps, W):
     """Drop-in traceback_t replacement (numpy outputs): packed-word
-    device walk + host run-length expansion.  Exactly equal to
-    traceback_t on all inputs (tests/test_banded_pallas.py)."""
+    device walk + two-transfer host fetch + run-length expansion.
+    Exactly equal to traceback_t on all inputs
+    (tests/test_banded_pallas.py)."""
     runs, mvs, it = traceback_packed_device(
         words, best_i, best_j, max_steps=max_steps, W=W)
-    return expand_packed_moves(np.asarray(runs), np.asarray(mvs),
-                               int(it), np.asarray(best_i),
-                               np.asarray(best_j), max_steps)
+    rows, runs_h, mvs_h, C = fetch_packed_traceback(
+        runs, mvs, it, best_i, best_j, max_steps=max_steps)
+    return expand_moves(runs_h, mvs_h, C, rows[0], rows[1], max_steps)
 
 
 def standard_frame_windows(t_codes_list, diags, NQ, W):

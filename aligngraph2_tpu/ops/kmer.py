@@ -206,8 +206,22 @@ def solid_set(db, k: int, threshold: float = 0.2) -> np.ndarray:
     return count_reads_sorted(db, k).solid_codes(threshold)
 
 
-def count_reads_sorted(db, k: int,
-                       chunk_bases: int = 256_000_000) -> SparseCounts:
+def solid_set_sharded(db, k: int, threshold: float,
+                      shard_ids: np.ndarray) -> np.ndarray:
+    """Host-sharded kmer_counter (SURVEY.md §2.6 "sharded-state
+    parallelism"; single-host hot loop: kmer_counter.cpp:19-96): each
+    host counts only its shard of the reads, per-host sparse counts are
+    merged across hosts (device reduction when the dense table fits,
+    bytes gather otherwise), and the exact cutoff rule runs on the
+    merged counts — identical solid set at any host count."""
+    from ..parallel.distributed import merge_host_counts
+    sc = count_reads_sorted(db, k, ids=shard_ids)
+    codes, counts = merge_host_counts(sc.codes, sc.counts_arr, k)
+    return SparseCounts(codes, counts, k).solid_codes(threshold)
+
+
+def count_reads_sorted(db, k: int, chunk_bases: int = 256_000_000,
+                       ids: np.ndarray | None = None) -> SparseCounts:
     """Sort-based host counter — the scalable path.
 
     The dense device scatter-add degrades badly at k=14 (a 268M-entry
@@ -231,8 +245,8 @@ def count_reads_sorted(db, k: int,
 
     buf = []
     buf_bases = 0
-    for i in range(len(db)):
-        c = db.get_codes(i)
+    for i in (range(len(db)) if ids is None else ids):
+        c = db.get_codes(int(i))
         if len(c) >= k:
             buf.append(kmer_codes_np(c, k))
             buf_bases += len(c)

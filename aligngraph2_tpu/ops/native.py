@@ -63,6 +63,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.ags_stride_sample.restype = _i64
         lib.ags_stride_sample.argtypes = [_pi64, _i64, _i64, _pi64]
+        lib.agx_expand.restype = None
+        lib.agx_expand.argtypes = [
+            _pu8, _pu8, _i64, _i64, _i64, _pi32, _pi32, _i64,
+            _pu8, _pi32, _pi32, _pi32,
+        ]
         lib.agk_solid.restype = _i64
         lib.agk_solid.argtypes = [
             _pu8, _pi64, _i64, _i64, ctypes.c_double,
@@ -101,6 +106,32 @@ def solid_set_native(bases: np.ndarray, read_start: np.ndarray, k: int,
     finally:
         if out:
             lib.agk_free(out)
+
+
+def expand_moves_native(runs: np.ndarray, mvs: np.ndarray, it_count: int,
+                        best_i: np.ndarray, best_j: np.ndarray,
+                        max_steps: int):
+    """Native traceback run-length expansion (spec + fallback:
+    ops/banded_pallas.expand_packed_moves); None -> caller uses numpy."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    runs = np.ascontiguousarray(runs, np.uint8)
+    mvs = np.ascontiguousarray(mvs, np.uint8)
+    B, stride = runs.shape
+    C = min(int(it_count), stride)
+    bi = np.ascontiguousarray(best_i, np.int32)
+    bj = np.ascontiguousarray(best_j, np.int32)
+    moves = np.empty((B, max_steps), np.uint8)
+    n = np.empty(B, np.int32)
+    si = np.empty(B, np.int32)
+    sj = np.empty(B, np.int32)
+    lib.agx_expand(runs.ctypes.data_as(_pu8), mvs.ctypes.data_as(_pu8),
+                   B, C, stride, bi.ctypes.data_as(_pi32),
+                   bj.ctypes.data_as(_pi32), max_steps,
+                   moves.ctypes.data_as(_pu8), n.ctypes.data_as(_pi32),
+                   si.ctypes.data_as(_pi32), sj.ctypes.data_as(_pi32))
+    return moves, n, si, sj
 
 
 def stride_sample_native(eligible: np.ndarray,

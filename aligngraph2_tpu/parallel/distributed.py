@@ -128,38 +128,46 @@ def barrier(name: str) -> None:
 
 
 def merge_host_counts(local_codes: np.ndarray, local_counts: np.ndarray,
-                      k: int):
-    """Merge per-host sparse k-mer counts into the global solid-set input
-    using a psum over a dense device table when it fits, else a host
-    gather.  Single-host: identity."""
+                      k: int, dense_max: int = 1 << 26):
+    """Merge per-host sparse k-mer counts into the global solid-set input.
+    Single-host: identity.
+
+    Dense path (4^k <= dense_max): each host scatters its counts into a
+    dense table, contributes it as one row of a device-global array
+    (zero rows for its other local devices), and a device reduction over
+    the host axis sums the tables — the collective rides ICI/DCN, not
+    the host network.  Sparse path (k = 14 production default is 1 GB
+    dense, so this is the real path): (codes, counts) blobs gathered via
+    :func:`gather_host_bytes` and merged on every host."""
     import jax
     if jax.process_count() <= 1:
         return local_codes, local_counts
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
     size = 1 << (2 * k)
-    if size <= (1 << 26):
-        # dense path: scatter local counts, psum across the global mesh
+    if size <= dense_max:
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("d",))
-        dense = jnp.zeros(size, jnp.int32).at[local_codes].add(
-            local_counts.astype(jnp.int32))
-
-        def reduce_fn(x):
-            return jax.lax.psum(x, "d")
-
-        out = jax.jit(jax.shard_map(reduce_fn, mesh=mesh, in_specs=P(),
-                                    out_specs=P(), check_vma=False))(dense)
-        arr = np.asarray(out)
+        n_local = jax.local_device_count()
+        dense = np.zeros((n_local, size), np.int32)
+        np.add.at(dense[0], local_codes, local_counts.astype(np.int32))
+        garr = multihost_utils.host_local_array_to_global_array(
+            dense, mesh, P("d", None))
+        out = jax.jit(lambda a: a.sum(0),
+                      out_shardings=NamedSharding(mesh, P()))(garr)
+        arr = np.asarray(out.addressable_shards[0].data).reshape(-1)
         codes = np.flatnonzero(arr)
         return codes.astype(np.int64), arr[codes].astype(np.int64)
-    # sparse fallback: all-gather via process_allgather
-    from jax.experimental import multihost_utils
-    all_codes = multihost_utils.process_allgather(local_codes)
-    all_counts = multihost_utils.process_allgather(local_counts)
+    # sparse path: bytes gather (host blob sizes differ per host, which
+    # process_allgather cannot carry directly)
+    blob = (np.int64(len(local_codes)).tobytes()
+            + np.ascontiguousarray(local_codes, np.int64).tobytes()
+            + np.ascontiguousarray(local_counts, np.int64).tobytes())
     from ..ops.kmer import _merge_counts
     codes = np.zeros(0, np.int64)
     counts = np.zeros(0, np.int64)
-    for c, n in zip(all_codes, all_counts):
-        codes, counts = _merge_counts(codes, counts, np.asarray(c),
-                                      np.asarray(n))
+    for b in gather_host_bytes(blob):
+        n = int(np.frombuffer(b[:8], np.int64)[0])
+        c = np.frombuffer(b[8:8 + 8 * n], np.int64)
+        m = np.frombuffer(b[8 + 8 * n:8 + 16 * n], np.int64)
+        codes, counts = _merge_counts(codes, counts, c, m)
     return codes, counts

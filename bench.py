@@ -60,10 +60,14 @@ def measure(device, B, NQ, W, iters=5):
 
 
 def measure_pallas(B, NQ, W, iters=5):
-    """Pallas kernel rate including traceback (the full TPU hot path)."""
+    """Pallas kernel rate including the PRODUCTION traceback
+    (traceback_fast: packed-word device walk + two-transfer fetch +
+    native run-length expansion — exactly what the aligner's
+    _dispatch_pallas/_finish_pallas hot path runs)."""
     import jax
     from aligngraph2_tpu.ops.banded_pallas import (banded_align_pallas,
-                                                   traceback_t, T_SENTINEL)
+                                                   traceback_fast,
+                                                   T_SENTINEL)
 
     rng = np.random.default_rng(0)
     q = rng.integers(0, 4, (B, NQ)).astype(np.uint8)
@@ -77,12 +81,12 @@ def measure_pallas(B, NQ, W, iters=5):
 
     def run():
         r = banded_align_pallas(qd, td, W=W, K=64)
-        m, n, si, sj = traceback_t(r.words, r.best_i, r.best_j,
-                                   max_steps=2 * NQ, W=W)
-        # NOTE: np.asarray, not block_until_ready — the axon relay's
-        # block_until_ready returns before execution finishes; a host
-        # copy is the only honest synchronization point.
-        np.asarray(m[:, :4])
+        # traceback_fast ends in host numpy outputs — itself the honest
+        # synchronization point (the axon relay's block_until_ready
+        # returns before execution finishes); fetch the scores too, as
+        # the production path does.
+        m, n, si, sj = traceback_fast(r.words, r.best_i, r.best_j,
+                                      max_steps=2 * NQ, W=W)
         np.asarray(r.score)
         return r
 

@@ -133,6 +133,26 @@ def test_traceback_fast_matches_traceback_t(rng):
         assert np.array_equal(np.asarray(j1), j2), ms
 
 
+def test_native_expand_matches_numpy_spec(rng):
+    """agx_expand (native run-length expansion) == expand_packed_moves
+    on random run/terminator streams, incl. truncation mid-run and at a
+    terminator."""
+    from aligngraph2_tpu.ops.banded_pallas import expand_packed_moves
+    from aligngraph2_tpu.ops.native import expand_moves_native
+    B, C = 16, 40
+    runs = rng.integers(0, 17, (B, C)).astype(np.uint8)
+    mvs = rng.choice(np.array([0, 1, 2, 3], np.uint8), (B, C),
+                     p=[0.2, 0.1, 0.35, 0.35])
+    bi = rng.integers(0, 500, B).astype(np.int32)
+    bj = rng.integers(0, 64, B).astype(np.int32)
+    for ms in (1000, 64, 17, 3):
+        ref = expand_packed_moves(runs, mvs, C, bi, bj, ms)
+        got = expand_moves_native(runs, mvs, C, bi, bj, ms)
+        assert got is not None, "native core unavailable"
+        for a, b in zip(ref, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), ms
+
+
 def test_xdrop_matches_full_kernel(rng):
     """With x_drop on, surviving lanes must be bit-identical to the
     x_drop=0 kernel (interpret mode; the on-hardware gate lives in
