@@ -188,6 +188,11 @@ class PAGraph:
         self.edge_start = np.zeros(self.n_nodes + 1, np.int64)
         self.used = np.zeros(0, bool)
         self._merged = False
+        # merge outputs are already in the spec's sorted order (positions
+        # by (node, ctg, ref), edges by (from, to, step)); finalize skips
+        # the re-sort while these hold
+        self._pos_sorted = False
+        self._edges_sorted = False
 
     def node_of_codes(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """codes -> (node ids, found mask).  Ids at unfound slots are
@@ -276,6 +281,7 @@ class PAGraph:
 
     def _flush(self) -> None:
         if self._pos_n:
+            self._pos_sorted = False
             buf, n = self._pos_buf, self._pos_n
             self.pos_node = np.concatenate([self.pos_node, buf[0, :n]])
             self.pos_ctg = np.concatenate(
@@ -286,11 +292,20 @@ class PAGraph:
                 [self.pos_count, np.ones(n, np.int64)])
             self._pos_n = 0
         if self._edge_n:
+            self._edges_sorted = False
             buf, n = self._edge_buf, self._edge_n
             self.edge_from = np.concatenate([self.edge_from, buf[0, :n]])
             self.edge_to = np.concatenate([self.edge_to, buf[1, :n]])
             self.edge_step = np.concatenate([self.edge_step, buf[2, :n]])
             self._edge_n = 0
+
+    @staticmethod
+    def _merge_backend() -> str:
+        """Production merge dispatch: 'native' (C++ core, default),
+        'device' (XLA sort/segment kernels, graph/merge_device.py), or
+        'numpy' (the in-file specification)."""
+        import os
+        return os.environ.get("ALIGNGRAPH2_TPU_MERGE", "native")
 
     def merge_edges(self) -> int:
         """Exact (from, to, step) dedup; returns removed count
@@ -304,6 +319,14 @@ class PAGraph:
         before = len(self.edge_from)
         if before == 0:
             return 0
+        if self._merge_backend() == "device":
+            from .merge_device import merge_edges_device
+            res = merge_edges_device(self.edge_from, self.edge_to,
+                                     self.edge_step, self.n_nodes)
+            if res is not None:
+                self.edge_from, self.edge_to, self.edge_step = res
+                self._edges_sorted = True
+                return before - len(self.edge_from)
         bn = max(int(self.n_nodes).bit_length(), 1)
         max_step = int(self.edge_step.max())
         min_step = int(self.edge_step.min())
@@ -323,6 +346,7 @@ class PAGraph:
             key = np.stack([self.edge_from, self.edge_to, self.edge_step])
             uniq = np.unique(key, axis=1)
             self.edge_from, self.edge_to, self.edge_step = uniq
+        self._edges_sorted = True
         return before - len(self.edge_from)
 
     def merge_positions(self, epsilon: int) -> int:
@@ -332,20 +356,37 @@ class PAGraph:
         before = len(self.pos_node)
         if before == 0:
             return 0
-        # native single-pass merge (bucket by node + per-segment sort +
-        # chain-cluster, native/ingest.cpp agp_merge_pos); the numpy path
-        # below is the specification and fallback — its 50M-wide gather /
-        # similarity temporaries dominated the merge wall at genome scale
-        from .ingest_native import merge_positions_native
-        merged = merge_positions_native(self.pos_node, self.pos_ctg,
-                                        self.pos_ref, self.pos_count,
-                                        self.n_nodes, int(epsilon))
-        if merged is not None:
-            self.pos_node = merged[0]
-            self.pos_ctg = merged[1].astype(np.uint64)
-            self.pos_ref = merged[2].astype(np.uint64)
-            self.pos_count = merged[3]
-            return before - len(self.pos_node)
+        backend = self._merge_backend()
+        if backend == "device":
+            # XLA sort + segment reductions on the accelerator
+            # (graph/merge_device.py); equality vs the numpy spec below
+            # is gated by tests/test_merge_device.py
+            from .merge_device import merge_positions_device
+            merged = merge_positions_device(self.pos_node, self.pos_ctg,
+                                            self.pos_ref, self.pos_count,
+                                            int(epsilon))
+            if merged is not None:
+                self.pos_node, self.pos_ctg, self.pos_ref, \
+                    self.pos_count = merged
+                self._pos_sorted = True
+                return before - len(self.pos_node)
+        if backend != "numpy":
+            # native single-pass merge (bucket by node + per-segment sort
+            # + chain-cluster, native/ingest.cpp agp_merge_pos); the numpy
+            # path below is the specification and fallback — its 50M-wide
+            # gather / similarity temporaries dominated the merge wall at
+            # genome scale
+            from .ingest_native import merge_positions_native
+            merged = merge_positions_native(self.pos_node, self.pos_ctg,
+                                            self.pos_ref, self.pos_count,
+                                            self.n_nodes, int(epsilon))
+            if merged is not None:
+                self.pos_node = merged[0]
+                self.pos_ctg = merged[1].astype(np.uint64)
+                self.pos_ref = merged[2].astype(np.uint64)
+                self.pos_count = merged[3]
+                self._pos_sorted = True
+                return before - len(self.pos_node)
         order = self._pos_order()
         node = self.pos_node[order]
         ctg = self.pos_ctg[order]
@@ -368,23 +409,29 @@ class PAGraph:
         sums = np.bincount(cluster_id, weights=cnt,
                            minlength=n_clusters).astype(np.int64)
         self.pos_count = np.minimum(sums, 0xFFFF)  # uint16 CountType cap
+        self._pos_sorted = True
         return before - n_clusters
 
     def finalize(self) -> None:
         """sortKmerPosition + resetUsedFlag + build CSR offsets."""
         self._flush()
-        order = self._pos_order()
-        self.pos_node = self.pos_node[order]
-        self.pos_ctg = self.pos_ctg[order]
-        self.pos_ref = self.pos_ref[order]
-        self.pos_count = self.pos_count[order]
+        if not self._pos_sorted:
+            order = self._pos_order()
+            self.pos_node = self.pos_node[order]
+            self.pos_ctg = self.pos_ctg[order]
+            self.pos_ref = self.pos_ref[order]
+            self.pos_count = self.pos_count[order]
+            self._pos_sorted = True
         self.pos_start = np.zeros(self.n_nodes + 1, np.int64)
         np.cumsum(np.bincount(self.pos_node, minlength=self.n_nodes),
                   out=self.pos_start[1:])
-        e_order = np.lexsort((self.edge_step, self.edge_to, self.edge_from))
-        self.edge_from = self.edge_from[e_order]
-        self.edge_to = self.edge_to[e_order]
-        self.edge_step = self.edge_step[e_order]
+        if not self._edges_sorted:
+            e_order = np.lexsort((self.edge_step, self.edge_to,
+                                  self.edge_from))
+            self.edge_from = self.edge_from[e_order]
+            self.edge_to = self.edge_to[e_order]
+            self.edge_step = self.edge_step[e_order]
+            self._edges_sorted = True
         self.edge_start = np.zeros(self.n_nodes + 1, np.int64)
         np.cumsum(np.bincount(self.edge_from, minlength=self.n_nodes),
                   out=self.edge_start[1:])
