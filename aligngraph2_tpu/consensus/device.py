@@ -192,11 +192,17 @@ def _agg_columns_jit():
 
     @__import__("functools").partial(
         jax.jit, static_argnames=("nw", "stride", "gap_slots"))
-    def agg(ops, col2seg, seg_win, seg_start, seg_weight, seg_off,
+    def agg(ops, seg_win, seg_start, seg_weight, seg_off,
             win_col_off, nw, stride, gap_slots):
         import jax.numpy as jnp
         C = ops.shape[0]
         iota = jnp.arange(C, dtype=jnp.int32)
+        # col -> segment id from the boundary scatter (saves shipping a
+        # C-sized map from the host)
+        marks = jnp.zeros(C + 1, jnp.int32).at[seg_off[1:]].add(
+            1, mode="drop")
+        col2seg = jnp.minimum(jnp.cumsum(marks[:C]),
+                              seg_win.shape[0] - 1)
         op = (ops & 3).astype(jnp.int32)
         valid = op > 0
         sw = seg_win[col2seg]
@@ -358,14 +364,16 @@ def aggregate_device(enc: EncodedWindows):
 
     C = len(enc.ops)
     S = len(enc.seg_win)
-    out = {}
+    # pad the static dims to power-of-two buckets so per-backbone shape
+    # variation doesn't retrigger compiles
+    nw_pad = _bucket(enc.n_windows, lo=1)
+    stride_pad = _bucket(enc.window_stride, lo=64)
+    out = {"nw": nw_pad, "stride": stride_pad}
     if C:
         cb = _bucket(C)
         sb = _bucket(S, lo=16)
         ops = np.zeros(cb, np.uint8)
         ops[:C] = enc.ops
-        col2seg = np.full(cb, S, np.int32)   # pad cols -> sentinel seg
-        col2seg[:C] = enc.col2seg
         seg_win = np.full(sb + 1, enc.n_windows - 1, np.int32)
         seg_win[:S] = enc.seg_win
         seg_win[sb] = enc.n_windows - 1
@@ -379,12 +387,14 @@ def aggregate_device(enc: EncodedWindows):
         # segs empty ranges beyond it
         seg_off[S] = C
         seg_off[S + 1:] = cb
+        win_col_off = np.full(nw_pad + 1, C, np.int32)
+        win_col_off[:enc.n_windows + 1] = enc.win_col_off
         # pad segs after the sentinel: empty at cb
-        res = _AGG(jnp.asarray(ops), jnp.asarray(col2seg),
+        res = _AGG(jnp.asarray(ops),
                    jnp.asarray(seg_win), jnp.asarray(seg_start),
                    jnp.asarray(seg_weight), jnp.asarray(seg_off),
-                   jnp.asarray(enc.win_col_off), enc.n_windows,
-                   enc.window_stride, GAP_SLOTS)
+                   jnp.asarray(win_col_off), nw_pad,
+                   stride_pad, GAP_SLOTS)
         (bb_wt, bb_cov, enter_w, enter_ft, mid_w, mid_ft, exit_w,
          exit_ft, ee_w, ee_ft, n_long, long_mask) = res
         out["bb_wt"] = np.asarray(bb_wt)
@@ -401,12 +411,12 @@ def aggregate_device(enc: EncodedWindows):
         out["long_cols"] = (np.flatnonzero(np.asarray(long_mask)[:C])
                             if n_long else np.zeros(0, np.int64))
     else:
-        ns = enc.n_windows * enc.window_stride
+        ns = nw_pad * stride_pad
         for k, size in (("bb_wt", ns), ("bb_cov", ns), ("enter_w", ns),
                         ("enter_ft", ns), ("mid_w", ns * (GAP_SLOTS - 1)),
                         ("mid_ft", ns * (GAP_SLOTS - 1)), ("exit_w", ns),
-                        ("exit_ft", ns), ("ee_w", enc.n_windows),
-                        ("ee_ft", enc.n_windows)):
+                        ("exit_ft", ns), ("ee_w", nw_pad),
+                        ("ee_ft", nw_pad)):
             out[k] = np.zeros(size, np.int64)
         out["long_cols"] = np.zeros(0, np.int64)
 
@@ -445,7 +455,7 @@ def assemble_window_tables(enc: EncodedWindows, agg: dict,
                            skeleton_lens: List[int]
                            ) -> List[WindowTables]:
     """Build per-window WindowTables from the device aggregates."""
-    stride = enc.window_stride
+    stride = agg["stride"]
     gm = GAP_SLOTS - 1
     tables = [WindowTables(L) for L in skeleton_lens]
 
@@ -567,6 +577,350 @@ def _bbpos_from_ops(enc: EncodedWindows, col_start: int, length: int,
             break
         c += 1
     return tuple(out)
+
+
+def assemble_flat(enc: EncodedWindows, agg: dict,
+                  skeleton_lens: List[int], stride_out: int) -> dict:
+    """Vectorized assembly of the device aggregates into the flat
+    arrays agp_reduced_consensus consumes — no python-dict graph pass.
+
+    Row order per window must match WindowTables dict-insertion order
+    (initial chain, ENTER, mid, EXIT, ENTER->EXIT, long-gap patches):
+    the reduced merge stable-sorts events by first-touch, and the only
+    possible ft ties (-1 initials; odd exit times) resolve identically
+    under this ordering — see the tie analysis in consensus/reduced.py.
+    """
+    stride = agg["stride"]
+    gm = GAP_SLOTS - 1
+    nw = len(skeleton_lens)
+    bb_wt = np.zeros(nw * stride_out, np.int64)
+    bb_cov = np.zeros(nw * stride_out, np.int64)
+    edge_parts, edge_off = [], [0]
+    chain_parts, chain_off = [], [0]
+    base_parts: List[bytes] = []
+    bbpos_parts: List[np.ndarray] = []
+    base_lens: List[np.ndarray] = []
+
+    g = agg["chain_groups"]
+    ng = agg["n_chain_groups"]
+    gwin = g["win"][:ng]
+    # groups arrive sorted by window (leading sort key)
+    win_lo = np.searchsorted(gwin, np.arange(nw))
+    win_hi = np.searchsorted(gwin, np.arange(nw), side="right")
+    # decode all packed bases at once: (ng, 64) 2-bit codes
+    if ng:
+        words = np.stack([g["b0"][:ng], g["b1"][:ng], g["b2"][:ng],
+                          g["b3"][:ng]], axis=1).astype(np.uint32)
+        j = np.arange(MAX_PACK)
+        codes64 = (words[:, j >> 4] >> (2 * (j & 15))) & 3
+        lut = np.frombuffer(b"ACGT", np.uint8)
+    glens = g["length"][:ng].astype(np.int64)
+    gflags = g["flags"][:ng]
+
+    # long-gap patches, precomputed per window
+    long_by_win: Dict[int, list] = {}
+    for c in agg["long_cols"]:
+        c = int(c)
+        seg = int(enc.col2seg[c])
+        w_id = int(enc.seg_win[seg])
+        w = int(enc.seg_weight[seg])
+        first = int(enc.seg_off[seg])
+        opseg = enc.ops[first:c + 1] & 3
+        advn = int(np.sum((opseg[:-1] == OP_MATCH)
+                          | (opseg[:-1] == OP_DEL)))
+        v = int(enc.seg_start[seg]) + advn
+        prevm = np.flatnonzero(opseg[:-1] == OP_MATCH)
+        pm = int(prevm[-1])
+        advp = int(np.sum((opseg[:pm] == OP_MATCH)
+                          | (opseg[:pm] == OP_DEL)))
+        u = int(enc.seg_start[seg]) + advp
+        ft = 2 * (c - int(enc.win_col_off[w_id]))
+        long_by_win.setdefault(w_id, []).append((u, v, w, ft))
+
+    for wi, L in enumerate(skeleton_lens):
+        n = L + 2
+        bb_wt[wi * stride_out: wi * stride_out + n] = \
+            agg["bb_wt"][wi * stride: wi * stride + n]
+        bb_cov[wi * stride_out: wi * stride_out + n] = \
+            agg["bb_cov"][wi * stride: wi * stride + n]
+        enter = agg["enter_w"][wi * stride: wi * stride + n]
+        enter_ft = agg["enter_ft"][wi * stride: wi * stride + n]
+        mid = agg["mid_w"][wi * stride * gm: (wi * stride + n) * gm]
+        mid_ft = agg["mid_ft"][wi * stride * gm: (wi * stride + n) * gm]
+        exit_w = agg["exit_w"][wi * stride: wi * stride + n]
+        exit_ft = agg["exit_ft"][wi * stride: wi * stride + n]
+        rows = []
+        # initial backbone chain (ft=-1), counts merged from the dense
+        # tables where the alignment edge coincides with (i, i+1)
+        init = np.zeros((L + 1, 4), np.int64)
+        init[:, 0] = np.arange(L + 1)
+        init[:, 1] = init[:, 0] + 1
+        init[:, 3] = -1
+        if L >= 2:
+            init[1:L, 2] = mid[gm: L * gm: gm][: L - 1]
+        init[0, 2] = enter[1] if n > 1 else 0
+        init[L, 2] += exit_w[L]
+        rows.append(init)
+        # ENTER -> v (v != 1)
+        nz = np.flatnonzero(enter)
+        nz = nz[nz != 1]
+        if len(nz):
+            rows.append(np.stack([np.zeros(len(nz), np.int64), nz,
+                                  enter[nz], enter_ft[nz]], axis=1))
+        # mid edges with gap >= 2 (slot >= 1)
+        nzm = np.flatnonzero(mid)
+        nzm = nzm[nzm % gm != 0]
+        if len(nzm):
+            u = nzm // gm
+            rows.append(np.stack([u, u + nzm % gm + 1, mid[nzm],
+                                  mid_ft[nzm]], axis=1))
+        # u -> EXIT (u != L)
+        nze = np.flatnonzero(exit_w)
+        nze = nze[nze != L]
+        if len(nze):
+            rows.append(np.stack([nze, np.full(len(nze), L + 1, np.int64),
+                                  exit_w[nze], exit_ft[nze]], axis=1))
+        # ENTER -> EXIT
+        if agg["ee_w"][wi]:
+            rows.append(np.array([[0, L + 1, agg["ee_w"][wi],
+                                   agg["ee_ft"][wi]]], np.int64))
+        # long-gap patches (u, v) disjoint from every dense table range
+        patches = long_by_win.get(wi)
+        if patches:
+            merged: Dict[Tuple[int, int], List[int]] = {}
+            for u, v, w, ft in patches:
+                e = merged.get((u, v))
+                if e is None:
+                    merged[(u, v)] = [w, ft]
+                else:
+                    e[0] += w
+                    e[1] = min(e[1], ft)
+            rows.append(np.array([(u, v, c, ft) for (u, v), (c, ft)
+                                  in merged.items()], np.int64))
+        edge_parts.append(np.concatenate(rows).astype(np.int32))
+        edge_off.append(edge_off[-1] + len(edge_parts[-1]))
+
+        # chains of this window
+        lo, hi = int(win_lo[wi]), int(win_hi[wi])
+        if hi > lo:
+            sl = slice(lo, hi)
+            ch = np.stack([g["prev"][sl], g["nxt"][sl], g["length"][sl],
+                           g["wsum"][sl], g["creation"][sl],
+                           g["ft_head"][sl], g["ft_tail"][sl]],
+                          axis=1).astype(np.int32)
+            lens_w = glens[sl]
+            # ragged base stream from the unpacked code matrix
+            mask = np.arange(MAX_PACK) < np.minimum(lens_w, MAX_PACK)[:, None]
+            bstream = lut[codes64[sl][mask]]
+            bpos = np.repeat(g["bb_start"][sl].astype(np.int64),
+                             np.minimum(lens_w, MAX_PACK))
+            # patch flagged groups (overflow length / interior dels)
+            flagged = np.flatnonzero(gflags[sl])
+            if len(flagged):
+                boff = np.concatenate(
+                    [[0], np.cumsum(np.minimum(lens_w, MAX_PACK))])
+                pieces = {"b": bstream, "p": bpos}
+                ch, pieces, lens_w = _patch_flagged(
+                    enc, g, sl, flagged, ch, pieces, lens_w, boff)
+                bstream, bpos = pieces["b"], pieces["p"]
+            chain_parts.append(ch)
+            base_parts.append(bstream.tobytes())
+            bbpos_parts.append(bpos.astype(np.int32))
+            base_lens.append(lens_w)
+            chain_off.append(chain_off[-1] + len(ch))
+        else:
+            chain_off.append(chain_off[-1])
+
+    all_lens = (np.concatenate(base_lens) if base_lens
+                else np.zeros(0, np.int64))
+    flat = {
+        "stride": stride_out,
+        "bb_wt": bb_wt,
+        "bb_cov": bb_cov,
+        "edges": (np.concatenate(edge_parts) if edge_parts
+                  else np.zeros((0, 4), np.int32)),
+        "edge_off": np.asarray(edge_off, np.int64),
+        "chains": (np.concatenate(chain_parts) if chain_parts
+                   else np.zeros((0, 7), np.int32)),
+        "chain_off": np.asarray(chain_off, np.int64),
+        "bases": b"".join(base_parts),
+        "bbpos": (np.concatenate(bbpos_parts) if bbpos_parts
+                  else np.zeros(0, np.int32)),
+        "base_off": np.concatenate(
+            [[0], np.cumsum(all_lens)]).astype(np.int64),
+    }
+    return flat
+
+
+def _patch_flagged(enc, g, sl, flagged, ch, pieces, lens_w, boff):
+    """Fix base/bbpos streams for overflow-length or interior-del chain
+    groups by walking the op stream (host, rare); merges duplicate
+    overflow groups exactly like the sequential build would."""
+    lo = sl.start
+    bstream = pieces["b"]
+    bpos = pieces["p"]
+    bl = [bstream[boff[i]:boff[i + 1]] for i in range(len(lens_w))]
+    pl = [bpos[boff[i]:boff[i + 1]] for i in range(len(lens_w))]
+    keep = np.ones(len(lens_w), bool)
+    seen: Dict[Tuple, int] = {}
+    for fi in flagged:
+        i = int(fi)
+        gi = lo + i
+        length = int(g["length"][gi])
+        flags = int(g["flags"][gi])
+        if flags & FLAG_OVERFLOW:
+            bases = _bases_from_ops(enc, int(g["col_start"][gi]), length)
+            bl[i] = np.frombuffer(bases.encode(), np.uint8)
+        if flags & (FLAG_OVERFLOW | FLAG_INTERIOR_DELS):
+            if flags & FLAG_INTERIOR_DELS:
+                bp = _bbpos_from_ops(enc, int(g["col_start"][gi]),
+                                     length, int(g["bb_start"][gi]))
+                pl[i] = np.asarray(bp, np.int64)
+            else:
+                pl[i] = np.full(length, int(g["bb_start"][gi]), np.int64)
+        if flags & FLAG_OVERFLOW:
+            key = (int(ch[i, 0]), int(ch[i, 1]), bl[i].tobytes())
+            j = seen.get(key)
+            if j is None:
+                seen[key] = i
+            else:
+                # identical overflow chains: merge as the sequential
+                # build would (sum weights, keep first-created fields)
+                ch[j, 3] += ch[i, 3]
+                if ch[i, 4] < ch[j, 4]:
+                    ch[j, 4:7] = ch[i, 4:7]
+                    pl[j] = pl[i]
+                keep[i] = False
+        lens_w[i] = length
+    if not keep.all():
+        ch = ch[keep]
+        bl = [b for k, b in zip(keep, bl) if k]
+        pl = [p for k, p in zip(keep, pl) if k]
+        lens_w = lens_w[keep]
+    return ch, {"b": np.concatenate(bl) if bl else np.zeros(0, np.uint8),
+                "p": np.concatenate(pl) if pl else np.zeros(0, np.int64)
+                }, lens_w
+
+
+# ------------------- production entry point -------------------
+
+
+MAX_BATCH_COLS = int(__import__("os").environ.get(
+    "ALIGNGRAPH2_TPU_CNS_BATCH_COLS", 1 << 23))   # device column batch cap
+
+
+def _slice_enc(enc: EncodedWindows, wlo: int, whi: int) -> EncodedWindows:
+    """Restrict an encoding to windows [wlo, whi) with rebased offsets
+    (segments and columns are window-contiguous by construction)."""
+    slo = int(np.searchsorted(enc.seg_win, wlo, side="left"))
+    shi = int(np.searchsorted(enc.seg_win, whi - 1, side="right"))
+    clo = int(enc.seg_off[slo])
+    chi = int(enc.seg_off[shi])
+    sub = EncodedWindows(whi - wlo, enc.window_stride)
+    sub.ops = enc.ops[clo:chi]
+    sub.col2seg = enc.col2seg[clo:chi] - slo
+    sub.seg_win = enc.seg_win[slo:shi] - wlo
+    sub.seg_start = enc.seg_start[slo:shi]
+    sub.seg_weight = enc.seg_weight[slo:shi]
+    sub.seg_off = enc.seg_off[slo:shi + 1] - clo
+    sub.win_col_off = enc.win_col_off[wlo:whi + 1] - clo
+    sub.win_exit = enc.win_exit[wlo:whi]
+    keep = ((enc.chains["win"] >= wlo) & (enc.chains["win"] < whi)
+            if len(enc.chains["win"]) else
+            np.zeros(0, bool))
+    for f in CHAIN_FIELDS:
+        sub.chains[f] = enc.chains[f][keep].copy()
+    sub.chains["win"] = sub.chains["win"] - wlo
+    sub.chains["col_start"] = sub.chains["col_start"] - clo
+    return sub
+
+
+def consensus_backbone_device(backbone: str, alns, window: int,
+                              top_k: int, alpha: int, min_weight: int,
+                              threads: int = 4) -> str:
+    """Production pa_cns flow: native encode -> device aggregation ->
+    native order-keyed reduced merge.  Bit-identical to
+    consensus_backbone (gated by tests/test_consensus_device.py and the
+    pipeline parity drive)."""
+    if not backbone:
+        return ""
+    from .native import (encode_windows_native,
+                         reduced_consensus_native_flat)
+    enc = None
+    if __import__("os").environ.get("ALIGNGRAPH2_TPU_NO_NATIVE") != "1":
+        enc = encode_windows_native(backbone, list(alns), window, top_k,
+                                    alpha)
+    nw = (len(backbone) + window - 1) // window
+    lens = [min(window, len(backbone) - i * window) for i in range(nw)]
+    if enc is None:
+        enc = _encode_spec(backbone, alns, window, top_k, alpha, lens)
+    stride_out = max(lens) + 2
+    flats = []
+    wlo = 0
+    while wlo < nw:
+        whi = wlo + 1
+        while whi < nw and (enc.win_col_off[whi + 1]
+                            - enc.win_col_off[wlo]) <= MAX_BATCH_COLS:
+            whi += 1
+        sub = _slice_enc(enc, wlo, whi) if (wlo, whi) != (0, nw) else enc
+        agg = aggregate_device(sub)
+        flats.append(assemble_flat(sub, agg, lens[wlo:whi], stride_out))
+        wlo = whi
+    flat = flats[0] if len(flats) == 1 else _concat_flats(flats)
+    res = reduced_consensus_native_flat(backbone, window, nw, flat,
+                                        min_weight, threads)
+    if res is not None:
+        return res
+    # python fallback: rebuild WindowTables per batch
+    tables: List[WindowTables] = []
+    wlo = 0
+    while wlo < nw:
+        whi = wlo + 1
+        while whi < nw and (enc.win_col_off[whi + 1]
+                            - enc.win_col_off[wlo]) <= MAX_BATCH_COLS:
+            whi += 1
+        sub = _slice_enc(enc, wlo, whi) if (wlo, whi) != (0, nw) else enc
+        agg = aggregate_device(sub)
+        tables.extend(assemble_window_tables(sub, agg, lens[wlo:whi]))
+        wlo = whi
+    outs = []
+    for i, t in enumerate(tables):
+        sk = backbone[i * window: i * window + lens[i]]
+        g = _RGraph(sk, t)
+        g.merge_nodes()
+        outs.append(g.consensus(min_weight))
+    return "".join(outs)
+
+
+def _concat_flats(flats: List[dict]) -> dict:
+    out = {"stride": flats[0]["stride"]}
+    out["bb_wt"] = np.concatenate([f["bb_wt"] for f in flats])
+    out["bb_cov"] = np.concatenate([f["bb_cov"] for f in flats])
+    out["edges"] = np.concatenate([f["edges"] for f in flats])
+    out["chains"] = np.concatenate([f["chains"] for f in flats])
+    out["bases"] = b"".join(f["bases"] for f in flats)
+    out["bbpos"] = np.concatenate([f["bbpos"] for f in flats])
+    for key in ("edge_off", "chain_off", "base_off"):
+        parts = [flats[0][key]]
+        for f in flats[1:]:
+            parts.append(f[key][1:] + parts[-1][-1])
+        out[key] = np.concatenate(parts)
+    return out
+
+
+def _encode_spec(backbone, alns, window, top_k, alpha, lens
+                 ) -> EncodedWindows:
+    """Pure-python encode fallback via the window.py slicing spec."""
+    from .window import slice_into_windows, weight_alignments
+    parts = slice_into_windows(alns, len(backbone), window)
+    window_alns = []
+    for part in parts:
+        part.sort(key=lambda p: -p.score)
+        del part[top_k:]
+        ws = weight_alignments(part, alpha)
+        window_alns.append([(p.start, p.qstr, p.tstr, int(w))
+                            for p, w in zip(part, ws)])
+    return encode_windows_np(window_alns, lens)
 
 
 # ------------------- spec entry point -------------------

@@ -102,10 +102,31 @@ def consensus_backbone(backbone: str, alns: AlignmentSet,
                        use_native: bool = True) -> str:
     """Full pa_cns flow for one backbone.
 
-    Runs the native C++ core (native/poacns.cpp) when available — one
-    call per backbone, std::thread window parallelism — and falls back
-    to the pure-Python path below (the specification; bit-identical)."""
+    Backend dispatch (ALIGNGRAPH2_TPU_CONSENSUS):
+      * ``device`` — the TPU path (consensus/device.py): native encode,
+        XLA column/chain aggregation, native reduced merge
+      * ``native`` — the host C++ core (native/poacns.cpp), one call per
+        backbone, std::thread window parallelism
+      * anything else / fallback — the pure-Python spec below
+    All three are bit-identical (tests/test_consensus_device.py,
+    tests/test_native_poa.py)."""
+    # Default: the host C++ core.  The device path is bit-identical and
+    # its on-chip compute is fast (33M-column aggregation ~0.5s), but in
+    # THIS environment the chip sits behind a ~40 MB/s relay, so the
+    # column-stream transfers bound it at ~10s/backbone vs ~1s for the
+    # host core (measured, BASELINE.md §consensus).  On a directly
+    # attached TPU host the economics flip; opt in with
+    # ALIGNGRAPH2_TPU_CONSENSUS=device.
+    backend = os.environ.get("ALIGNGRAPH2_TPU_CONSENSUS", "native")
     if use_native and os.environ.get("ALIGNGRAPH2_TPU_NO_NATIVE") != "1":
+        if backend == "device":
+            from .device import consensus_backbone_device
+            try:
+                return consensus_backbone_device(
+                    backbone, list(alns), cfg.window, cfg.top_k,
+                    cfg.alpha, cfg.min_weight, threads)
+            except Exception:
+                pass    # fall through to the host core
         from .native import consensus_backbone_native
         res = consensus_backbone_native(
             backbone, list(alns), cfg.window, cfg.top_k, cfg.alpha,

@@ -116,3 +116,93 @@ def test_device_empty_and_deletion_only():
     for alns in cases:
         got = window_consensus_via_device([sk], [alns])
         assert got == [_oracle(sk, alns)], alns
+
+
+# ------------- native encoder / reduced-merge parity -------------
+
+
+def _mk_alignments(rng, backbone, n, err=0.15):
+    from aligngraph2_tpu.align.records import Alignment
+    L = len(backbone)
+    alns = []
+    for _ in range(n):
+        ln = int(rng.integers(50, max(60, L // 2)))
+        rb = int(rng.integers(0, L - ln))
+        t = backbone[rb:rb + ln]
+        qs, ts = [], []
+        for ch in t:
+            r = rng.random()
+            if r < err * 0.4:
+                qs.append(BASES[rng.integers(0, 4)]); ts.append(ch)
+            elif r < err * 0.7:
+                qs.append("-"); ts.append(ch)
+            elif r < err:
+                qs.append(BASES[rng.integers(0, 4)]); ts.append("-")
+                qs.append(ch); ts.append(ch)
+            else:
+                qs.append(ch); ts.append(ch)
+        q = "".join(qs)
+        alns.append(Alignment(
+            query_name="r", ref_name="b", forward=True,
+            score=ln - int(err * ln * rng.random()),
+            qb=0, qe=sum(c != "-" for c in q), qsize=ln,
+            rb=rb, re=rb + ln, rsize=L, qstr=q, tstr="".join(ts)))
+    return alns
+
+
+def test_native_encoder_matches_spec(rng):
+    from aligngraph2_tpu.consensus.device import _encode_spec
+    from aligngraph2_tpu.consensus.native import encode_windows_native
+    backbone = "".join(BASES[i] for i in rng.integers(0, 4, 900))
+    alns = _mk_alignments(rng, backbone, 60)
+    window, top_k, alpha = 250, 20, 50
+    enc_c = encode_windows_native(backbone, alns, window, top_k, alpha)
+    if enc_c is None:
+        pytest.skip("native toolchain unavailable")
+    nw = (len(backbone) + window - 1) // window
+    lens = [min(window, len(backbone) - i * window) for i in range(nw)]
+    enc_py = _encode_spec(backbone, alns, window, top_k, alpha, lens)
+    assert enc_c.n_windows == enc_py.n_windows
+    assert enc_c.window_stride == enc_py.window_stride
+    np.testing.assert_array_equal(enc_c.ops, enc_py.ops)
+    np.testing.assert_array_equal(enc_c.col2seg, enc_py.col2seg)
+    np.testing.assert_array_equal(enc_c.seg_win, enc_py.seg_win)
+    np.testing.assert_array_equal(enc_c.seg_start, enc_py.seg_start)
+    np.testing.assert_array_equal(enc_c.seg_weight, enc_py.seg_weight)
+    np.testing.assert_array_equal(enc_c.seg_off, enc_py.seg_off)
+    np.testing.assert_array_equal(enc_c.win_col_off, enc_py.win_col_off)
+    np.testing.assert_array_equal(enc_c.win_exit, enc_py.win_exit)
+    for f in enc_py.chains:
+        np.testing.assert_array_equal(enc_c.chains[f], enc_py.chains[f],
+                                      err_msg=f)
+
+
+def test_full_device_path_matches_host_core(rng):
+    """consensus_backbone via device backend == host C++ core == python
+    spec, on a multi-window backbone."""
+    import os
+    from aligngraph2_tpu.config import ConsensusConfig
+    from aligngraph2_tpu.consensus.window import consensus_backbone
+    from aligngraph2_tpu.align.records import AlignmentSet
+    backbone = "".join(BASES[i] for i in rng.integers(0, 4, 1500))
+    alns = AlignmentSet(_mk_alignments(rng, backbone, 120))
+    cfg = ConsensusConfig()
+    cfg.window = 400
+    cfg.top_k = 40
+    cfg.alpha = 60
+    outs = {}
+    for backend in ("native", "device"):
+        os.environ["ALIGNGRAPH2_TPU_CONSENSUS"] = backend
+        try:
+            outs[backend] = consensus_backbone(backbone, alns, cfg,
+                                               threads=2)
+        finally:
+            del os.environ["ALIGNGRAPH2_TPU_CONSENSUS"]
+    os.environ["ALIGNGRAPH2_TPU_NO_NATIVE"] = "1"
+    try:
+        outs["python"] = consensus_backbone(backbone, alns, cfg,
+                                            threads=1)
+    finally:
+        del os.environ["ALIGNGRAPH2_TPU_NO_NATIVE"]
+    assert outs["native"] == outs["python"]
+    assert outs["device"] == outs["native"]
