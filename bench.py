@@ -21,6 +21,12 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: the axon relay's cold compiles run
+# minutes; cached reruns (driver, repeated benches) skip them
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_agv")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 
 def make_inputs(rng, B, NQ, W):
     NT = NQ + 2 * W
