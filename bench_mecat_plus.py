@@ -38,10 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REGION = int(os.environ.get("AGV_SWEEP_REGION", 100_000))
 GENOME_LEN = int(os.environ.get("AGV_SWEEP_GENOME", 2_000_000))
-LOW_DIV, HIGH_DIV = 0.01, 0.08
+LOW_DIV, HIGH_DIV = 0.01, 0.20
+N_DUPS = 8          # segmental duplications -> sub-best alignments so
+DUP_LEN = 50_000    # the delta filter has something to prune
 
 
-def build_dataset(seed=11, coverage=6, mean_read=9000, read_err=0.1):
+def build_dataset(seed=11, coverage=4, mean_read=9000, read_err=0.12):
     from tests.synth import mutate, random_genome, revcomp
     rng = np.random.default_rng(seed)
     genome = random_genome(rng, GENOME_LEN)
@@ -52,6 +54,18 @@ def build_dataset(seed=11, coverage=6, mean_read=9000, read_err=0.1):
         sim_parts.append(mutate(rng, genome[lo:lo + REGION], sub=div,
                                 ins=div / 4, dele=div / 4))
     similar = "".join(sim_parts)
+    # segmental duplications in the similar genome: copies of low-div
+    # TRUE-genome segments with extra 3% divergence, so reads from those
+    # segments align both to their true locus (best) and to the copy
+    # (sub-best) — the delta threshold decides whether the copy survives
+    sim = list(similar)
+    for d in range(N_DUPS):
+        src = (2 * d) * REGION + 10_000          # inside a low-div region
+        dst = int(rng.integers(0, len(sim) - DUP_LEN))
+        copy = mutate(rng, genome[src:src + DUP_LEN], sub=0.03,
+                      ins=0.0075, dele=0.0075)[:DUP_LEN]
+        sim[dst:dst + len(copy)] = list(copy)
+    similar = "".join(sim)
     reads, positions = [], []
     n_bases = int(GENOME_LEN * coverage)
     total, i = 0, 1
