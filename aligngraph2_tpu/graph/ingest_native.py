@@ -81,6 +81,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.agp_merge_pos2.restype = _i64
         lib.agp_merge_pos2.argtypes = lib.agp_merge_pos.argtypes
+        lib.agp_merge_edges.restype = _i64
+        lib.agp_merge_edges.argtypes = [
+            _pi64, _pi64, _pi64, _i64,
+            _ppi64, _ppi64, _ppi64, _pi64,
+        ]
         _lib = lib
         return _lib
 
@@ -123,6 +128,39 @@ def merge_positions_native(node, ctg, ref, cnt, n_nodes: int, eps: int,
             return np.ctypeslib.as_array(p, shape=(n,)).copy()
 
         return arr(o[0]), arr(o[1]), arr(o[2]), arr(o[3])
+    finally:
+        for p in o:
+            if p:
+                lib.agp_free(p)
+
+
+def merge_edges_native(frm, to, step):
+    """Exact (from, to, step) dedup in ascending order via the fused
+    radix core; None -> caller falls back (unavailable or >uint32)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_f = _c(frm, np.int64)
+    a_t = _c(to, np.int64)
+    a_s = _c(step, np.int64)
+    o = [_pi64() for _ in range(3)]
+    out_n = _i64()
+    rc = lib.agp_merge_edges(
+        a_f.ctypes.data_as(_pi64), a_t.ctypes.data_as(_pi64),
+        a_s.ctypes.data_as(_pi64), len(a_f),
+        ctypes.byref(o[0]), ctypes.byref(o[1]), ctypes.byref(o[2]),
+        ctypes.byref(out_n))
+    try:
+        if rc != 0:
+            return None
+        n = int(out_n.value)
+
+        def arr(p):
+            if n == 0:
+                return np.zeros(0, np.int64)
+            return np.ctypeslib.as_array(p, shape=(n,)).copy()
+
+        return arr(o[0]), arr(o[1]), arr(o[2])
     finally:
         for p in o:
             if p:

@@ -343,9 +343,37 @@ class PAGraph:
             self.edge_to = (uniq >> bs) & ((np.int64(1) << bn) - 1)
             self.edge_step = uniq & ((np.int64(1) << bs) - 1)
         else:
-            key = np.stack([self.edge_from, self.edge_to, self.edge_step])
-            uniq = np.unique(key, axis=1)
-            self.edge_from, self.edge_to, self.edge_step = uniq
+            # beyond the 63-bit packed key (k=14's 82M nodes + long
+            # steps land here): fused native radix dedup, then the
+            # argsort path, then numpy lexsort.  The previous
+            # np.unique(axis=1) fallback was the dominant pagraph merge
+            # cost at genome scale (~90 s on the bench's 47M-edge
+            # pass-2 dedup)
+            from .ingest_native import lexsort3_native, merge_edges_native
+            merged = merge_edges_native(self.edge_from, self.edge_to,
+                                        self.edge_step)
+            if merged is not None:
+                self.edge_from, self.edge_to, self.edge_step = merged
+                self._edges_sorted = True
+                return before - len(self.edge_from)
+            order = lexsort3_native(self.edge_from, self.edge_to,
+                                    self.edge_step)
+            if order is None:
+                order = np.lexsort((self.edge_step, self.edge_to,
+                                    self.edge_from))
+            ef = self.edge_from[order]
+            et = self.edge_to[order]
+            es = self.edge_step[order]
+            boundary = np.empty(before, np.bool_)
+            boundary[0] = True
+            np.not_equal(ef[1:], ef[:-1], out=boundary[1:])
+            np.logical_or(boundary[1:], et[1:] != et[:-1],
+                          out=boundary[1:])
+            np.logical_or(boundary[1:], es[1:] != es[:-1],
+                          out=boundary[1:])
+            self.edge_from = ef[boundary]
+            self.edge_to = et[boundary]
+            self.edge_step = es[boundary]
         self._edges_sorted = True
         return before - len(self.edge_from)
 

@@ -570,6 +570,96 @@ int64_t agp_merge_pos2(const int64_t* node, const int64_t* ctg,
   return 0;
 }
 
+// Fused radix edge dedup: exact (from, to, step) unique in (from, to,
+// step)-ascending order — the same counting-pass pattern as
+// agp_merge_pos2, one linear compaction at the end.  Returns -2 when a
+// field exceeds uint32 (caller falls back to the argsort path).
+int64_t agp_merge_edges(const int64_t* frm, const int64_t* to,
+                        const int64_t* step, int64_t n,
+                        int64_t** out_from, int64_t** out_to,
+                        int64_t** out_step, int64_t* out_n) {
+  if (n <= 0) {
+    *out_from = *out_to = *out_step = nullptr;
+    *out_n = 0;
+    return 0;
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if ((uint64_t)frm[i] > 0xFFFFFFFFull || (uint64_t)to[i] > 0xFFFFFFFFull ||
+        (uint64_t)step[i] > 0xFFFFFFFFull)
+      return -2;
+  struct Rec {
+    uint32_t f, t, s;
+  };
+  Rec* a = static_cast<Rec*>(std::malloc(sizeof(Rec) * n));
+  Rec* b = static_cast<Rec*>(std::malloc(sizeof(Rec) * n));
+  if (!a || !b) {
+    std::free(a);
+    std::free(b);
+    return -1;
+  }
+  for (int64_t i = 0; i < n; ++i)
+    a[i] = {static_cast<uint32_t>(frm[i]), static_cast<uint32_t>(to[i]),
+            static_cast<uint32_t>(step[i])};
+  static thread_local std::vector<int64_t> hist;
+  hist.assign(1 << 16, 0);
+  auto digit_of = [](const Rec& r, int pass) -> uint32_t {
+    switch (pass) {
+      case 0: return r.s & 0xFFFF;
+      case 1: return r.s >> 16;
+      case 2: return r.t & 0xFFFF;
+      case 3: return r.t >> 16;
+      case 4: return r.f & 0xFFFF;
+      default: return r.f >> 16;
+    }
+  };
+  Rec* src = a;
+  Rec* dst = b;
+  for (int pass = 0; pass < 6; ++pass) {
+    std::fill(hist.begin(), hist.end(), 0);
+    for (int64_t i = 0; i < n; ++i) ++hist[digit_of(src[i], pass)];
+    if (hist[digit_of(src[0], pass)] == n) continue;
+    int64_t run = 0;
+    for (int64_t d = 0; d < (1 << 16); ++d) {
+      const int64_t c = hist[d];
+      hist[d] = run;
+      run += c;
+    }
+    for (int64_t i = 0; i < n; ++i)
+      dst[hist[digit_of(src[i], pass)]++] = src[i];
+    std::swap(src, dst);
+  }
+  int64_t w = 0;
+  for (int64_t i = 1; i < n; ++i) {
+    const Rec cur = src[i];
+    if (cur.f != src[w].f || cur.t != src[w].t || cur.s != src[w].s)
+      src[++w] = cur;
+  }
+  const int64_t total = w + 1;
+  int64_t* of = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int64_t* ot = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int64_t* os = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  if (!of || !ot || !os) {
+    std::free(a);
+    std::free(b);
+    std::free(of);
+    std::free(ot);
+    std::free(os);
+    return -1;
+  }
+  for (int64_t i = 0; i < total; ++i) {
+    of[i] = src[i].f;
+    ot[i] = src[i].t;
+    os[i] = src[i].s;
+  }
+  std::free(a);
+  std::free(b);
+  *out_from = of;
+  *out_to = ot;
+  *out_step = os;
+  *out_n = total;
+  return 0;
+}
+
 // Stable LSD radix argsort over three int64 keys, equivalent to
 // np.lexsort((k3, k2, k1)) — primary k1, secondary k2, tertiary k3 —
 // which is the graph's position ordering (node, ctg, ref).  16-bit
