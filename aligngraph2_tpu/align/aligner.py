@@ -610,7 +610,8 @@ class LongReadAligner:
 
 def align_chunked(target_db: SeqDatabase, query_db: SeqDatabase,
                   cfg: AlignerConfig, progress: bool = False,
-                  mesh=None) -> AlignmentSet:
+                  mesh=None, checkpoint_path: str | None = None
+                  ) -> AlignmentSet:
     """Contig->reference alignment via fixed-size pseudo-reads.
 
     Mirrors script/long2ref.py: chunk each contig into ``chunk_len`` pieces,
@@ -633,7 +634,8 @@ def align_chunked(target_db: SeqDatabase, query_db: SeqDatabase,
 
     from ..io.seqdb import decode_seq
     piece_db = SeqDatabase((nm, decode_seq(c)) for nm, c in pieces)
-    aligner = LongReadAligner(target_db, cfg, progress=progress, mesh=mesh)
+    aligner = LongReadAligner(target_db, cfg, progress=progress,
+                              mesh=mesh, checkpoint_path=checkpoint_path)
     raw = aligner.align_reads(piece_db)
 
     out = AlignmentSet()

@@ -266,11 +266,13 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             and m_cache.check_args(**aln_args)
             and os.path.exists(c2r_path)):
         c2r = align_chunked(refs, ctgs, cfg.aligner,
-                            progress=cfg.runtime.progress, mesh=mesh)
+                            progress=cfg.runtime.progress, mesh=mesh,
+                            checkpoint_path=part_path(dirs["mummer"]))
         if is_coordinator():
             c2r.write_ref(c2r_path)
             m_cache.save(ctg_path, genome_path)
             m_cache.save_args(**aln_args)
+        clear_part(dirs["mummer"])
         barrier("stage4")
         log(f"Done: {len(c2r)} alignments")
         c2r = AlignmentSet.read_ref(c2r_path, keep_strings=False)
