@@ -162,6 +162,13 @@ def _close_chain_np(chains: Dict[str, list], w_id: int, chain: list,
     else:
         for j, b in enumerate(bases):
             words[j >> 4] |= "ACGT".find(b) << (2 * (j & 15))
+        # Wrap each packed word to int32 exactly like the native encoder
+        # (poacns.cpp stores int32; a G/T at base index 15/31/47/63 sets
+        # bit 31).  Without this the Python int exceeds int32 and
+        # np.array(..., np.int32) raises OverflowError on numpy>=2.
+        for k in range(4):
+            w32 = words[k] & 0xFFFFFFFF
+            words[k] = w32 - (1 << 32) if w32 >= (1 << 31) else w32
     chains["win"].append(w_id)
     chains["prev"].append(prev_anchor)
     chains["nxt"].append(next_anchor)

@@ -21,6 +21,8 @@ from ..align.records import AlignmentSet
 from ..config import ConsensusConfig
 from .poa import AlnGraph, normalize_gaps
 
+_DEVICE_FALLBACK_WARNED = False
+
 
 @dataclass
 class WindowAln:
@@ -126,7 +128,18 @@ def consensus_backbone(backbone: str, alns: AlignmentSet,
                     backbone, list(alns), cfg.window, cfg.top_k,
                     cfg.alpha, cfg.min_weight, threads)
             except Exception:
-                pass    # fall through to the host core
+                # Fall through to the host core, but say so once: the
+                # user opted into the device backend and silently
+                # degrading every backbone would hide a real failure.
+                global _DEVICE_FALLBACK_WARNED
+                if not _DEVICE_FALLBACK_WARNED:
+                    _DEVICE_FALLBACK_WARNED = True
+                    import logging
+                    import traceback
+                    logging.getLogger(__name__).warning(
+                        "ALIGNGRAPH2_TPU_CONSENSUS=device failed; "
+                        "falling back to the host core:\n%s",
+                        traceback.format_exc())
         from .native import consensus_backbone_native
         res = consensus_backbone_native(
             backbone, list(alns), cfg.window, cfg.top_k, cfg.alpha,

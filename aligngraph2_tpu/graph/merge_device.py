@@ -91,6 +91,11 @@ def merge_positions_device(pos_node: np.ndarray, pos_ctg: np.ndarray,
     n = len(pos_node)
     if n == 0 or int(pos_node.max()) >= np.iinfo(np.int32).max:
         return None
+    # Coordinates are stored uint64 but the kernel works in uint32; a
+    # value above 2^32 would silently truncate and mis-cluster.  Guard
+    # and fall back, mirroring agp_merge_pos2 / merge_edges_device.
+    if int(pos_ctg.max()) > 0xFFFFFFFF or int(pos_ref.max()) > 0xFFFFFFFF:
+        return None
     cap = _bucket(n)
     node = np.full(cap, np.iinfo(np.int32).max, np.int32)
     node[:n] = pos_node

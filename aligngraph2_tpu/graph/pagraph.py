@@ -348,16 +348,21 @@ class PAGraph:
             # argsort path, then numpy lexsort.  The previous
             # np.unique(axis=1) fallback was the dominant pagraph merge
             # cost at genome scale (~90 s on the bench's 47M-edge
-            # pass-2 dedup)
-            from .ingest_native import lexsort3_native, merge_edges_native
-            merged = merge_edges_native(self.edge_from, self.edge_to,
+            # pass-2 dedup).  The native calls are gated on the backend
+            # so ALIGNGRAPH2_TPU_MERGE=numpy forces the pure spec path
+            # here too (merge_positions already honors it).
+            order = None
+            if self._merge_backend() != "numpy":
+                from .ingest_native import (lexsort3_native,
+                                            merge_edges_native)
+                merged = merge_edges_native(self.edge_from, self.edge_to,
+                                            self.edge_step)
+                if merged is not None:
+                    self.edge_from, self.edge_to, self.edge_step = merged
+                    self._edges_sorted = True
+                    return before - len(self.edge_from)
+                order = lexsort3_native(self.edge_from, self.edge_to,
                                         self.edge_step)
-            if merged is not None:
-                self.edge_from, self.edge_to, self.edge_step = merged
-                self._edges_sorted = True
-                return before - len(self.edge_from)
-            order = lexsort3_native(self.edge_from, self.edge_to,
-                                    self.edge_step)
             if order is None:
                 order = np.lexsort((self.edge_step, self.edge_to,
                                     self.edge_from))

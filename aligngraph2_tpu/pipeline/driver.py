@@ -18,6 +18,7 @@ Stages:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -317,6 +318,14 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
                      config_path)
     stage6_fresh = g_cache.check(*stage6_inputs)
     if not stage6_fresh and is_coordinator():
+        # Inputs changed: every surviving per-group DONE marker refers to
+        # OLD-input results.  Clear them BEFORE recording the new input
+        # state — otherwise a crash mid-stage leaves the new CHECK on
+        # disk and the next run (seeing stage6_fresh=True) would silently
+        # reuse stale group results (VERDICT r3 weak #5).
+        for stale in sorted(glob.glob(
+                os.path.join(dirs["pagraph"], "*", "DONE"))):
+            os.remove(stale)
         # record input state up front: a crashed run resumes per-group via
         # the DONE markers, exactly like the reference's per-group gating
         g_cache.save(*stage6_inputs)

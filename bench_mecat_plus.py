@@ -14,7 +14,7 @@ demonstrates the recovery behaves AS DESCRIBED, quantitatively:
     delta rises, with best-locus recall unaffected.
 
 Dataset: a genome whose "similar genome" alternates 100 kb regions of
-low (1%) and high (8%) divergence; reads are sampled from the TRUE
+low (LOW_DIV=1%) and high (HIGH_DIV=20%) divergence; reads are sampled from the TRUE
 genome with recorded positions, so recall = fraction of reads whose
 emitted read->ref alignment covers the true locus (±5 kb slack for
 divergence indel drift).

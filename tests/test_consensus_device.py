@@ -105,6 +105,27 @@ def test_device_long_gap_and_overflow_chains():
     assert got == [_oracle(sk, alns)]
 
 
+def test_device_int32_wrap_chain():
+    """A 16-base insert chain whose base at index 15 is G/T sets bit 31
+    of the packed word; the numpy encoder must wrap to negative int32
+    exactly like the native encoder (poacns.cpp) instead of raising
+    OverflowError (numpy>=2) — ADVICE r3 medium."""
+    sk = "ACGTACGTACGTACGTACGT"
+    ins = "ACGTACGTACGTACGT"          # 16 bases, index 15 == 'T'
+    assert len(ins) == 16 and ins[15] == "T"
+    q = sk[4] + ins + sk[5]
+    t = sk[4] + "-" * 16 + sk[5]
+    alns = [(5, q, t, 3), (5, q, t, 2)]   # identical -> must pre-merge
+    enc = encode_windows_np([alns], [len(sk)])
+    b0 = enc.chains["b0"]
+    assert b0.dtype == np.int32 and (b0 < 0).any(), b0
+    agg = aggregate_device(enc)
+    tables = assemble_window_tables(enc, agg, [len(sk)])
+    _tables_equal(tables[0], extract_window_tables(len(sk), alns))
+    got = window_consensus_via_device([sk], [alns])
+    assert got == [_oracle(sk, alns)]
+
+
 def test_device_empty_and_deletion_only():
     sk = "ACGTACGT"
     cases = [
