@@ -256,16 +256,29 @@ def assemble_group(st: TravelState, ctg_set: List[Tuple[str, bool]],
 def _dump_travel(st: TravelState, out_dir: str, prefix: str, cid: int,
                  fwd: bool, travel: Travel, name: str) -> None:
     """Per-travel debug dump (PAssembly.cpp:40-54) — the reference's
-    de-facto correctness oracle."""
-    from ..ops.kmer import code_to_str
+    de-facto correctness oracle.  Columns are precomputed vectorized
+    (mapper lookups, k-mer decode); the scalar per-step version cost
+    tens of seconds per group at genome scale."""
     path = os.path.join(out_dir, f"{prefix}{cid}_{0 if fwd else 1}.txt")
+    g = st.graph
+    k = g.k
     with open(path, "w") as f:
         f.write(f"{name}\t{st.ctgs.size(cid)}\n")
-        for nd, pi, dist in travel:
-            c = int(st.graph.pos_ctg[pi])
-            r = int(st.graph.pos_ref[pi])
-            ci, cp = st.ctg_mapper.single_to_dual(c)
-            ri, rp = st.ref_mapper.single_to_dual(r)
-            kmer = code_to_str(int(st.graph.node_codes[nd]), st.graph.k)
-            cnt = int(st.graph.pos_count[pi])
-            f.write(f"{kmer},{c},{r},{cnt}\t{dist}\t{ci},{cp}\t{ri},{rp}\n")
+        if not travel:
+            return
+        arr = np.asarray(travel, dtype=np.int64)       # (n, 3)
+        nd, pi, dist = arr[:, 0], arr[:, 1], arr[:, 2]
+        c = g.pos_ctg[pi].astype(np.int64)
+        r = g.pos_ref[pi].astype(np.int64)
+        cnt = g.pos_count[pi]
+        ci, cp = st.ctg_mapper.single_to_dual(c)
+        ri, rp = st.ref_mapper.single_to_dual(r)
+        # decode every step's k-mer in one shot: (n, k) base matrix
+        shifts = 2 * np.arange(k - 1, -1, -1, dtype=np.int64)
+        bases = (g.node_codes[nd][:, None] >> shifts[None, :]) & 3
+        chars = np.frombuffer(b"ACGT", np.uint8)[bases]
+        kmers = chars.tobytes().decode("ascii")
+        f.writelines(
+            f"{kmers[i * k:(i + 1) * k]},{c[i]},{r[i]},{cnt[i]}\t{dist[i]}"
+            f"\t{ci[i]},{cp[i]}\t{ri[i]},{rp[i]}\n"
+            for i in range(len(arr)))

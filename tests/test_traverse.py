@@ -99,6 +99,31 @@ def test_travel_string_matches_contig(built):
     assert score > 0.8 * 2 * 400  # >=80% of a perfect match score
 
 
+def test_seq_to_string_matches_spec(built):
+    """Vectorized seq_to_string == scalar spec, on the real travel AND
+    on synthetic travels exercising long (> k) interpolation steps in
+    both ctg and ref coordinate frames."""
+    from aligngraph2_tpu.traverse.walk import seq_to_string_spec
+    st = built["st"]
+    travel = travel_sequence(st, 0, True)
+    assert travel
+    for cut in (0, 5, len(travel) // 2):
+        assert seq_to_string(st, travel, cut) == \
+            seq_to_string_spec(st, travel, cut)
+    # synthetic: rewrite some dists beyond k to force interpolation
+    g = st.graph
+    rng = np.random.default_rng(3)
+    synth = [list(s) for s in travel[:200]]
+    for i in rng.integers(1, len(synth), 12):
+        synth[int(i)][2] = int(rng.integers(g.k + 1, 3 * g.k))
+    synth = [tuple(s) for s in synth]
+    assert seq_to_string(st, synth) == seq_to_string_spec(st, synth)
+    # degenerate: empty and single-step travels
+    assert seq_to_string(st, []) == seq_to_string_spec(st, [])
+    assert seq_to_string(st, travel[:1]) == seq_to_string_spec(
+        st, travel[:1])
+
+
 def test_assembly_emits_and_connects(built, tmp_path):
     st = built["st"]
     res = assemble_group(st, built["group"].contigs, str(tmp_path), "0_")
