@@ -94,15 +94,59 @@ inline void edge_similar(uint64_t lc, uint64_t lr, uint64_t rc, uint64_t rr,
     *s2 = *s2 || (lr != 0 && rr != 0 && rat_r <= er);
 }
 
-inline int check_position(uint64_t p1c, uint64_t p1r, uint64_t p2c,
-                          uint64_t p2r, int64_t dist, int64_t dev,
-                          double er) {
-    bool s1, s2;
-    edge_similar(p1c, p1r, p2c, p2r, dist, dev, er, &s1, &s2);
-    double r1 = std::fabs(1.0 - (double)((p2c - p1c) & MASK32) / dist);
-    double r2 = std::fabs(1.0 - (double)((p2r - p1r) & MASK32) / dist);
-    s1 = s1 || r1 <= er;
-    s2 = s2 || r2 <= er;
+// Integerized ratio test.  The spec's ``fabs(1 - delta/dist) <= er``
+// is monotone in the integer delta on either side of dist, so for each
+// (er, dist) there are exact integer thresholds up/dn with
+//   spec(delta)  <=>  delta >= dist ? delta-dist <= up : dist-delta <= dn.
+// The thresholds are found with the EXACT spec formula at the boundary
+// (make_thr below), making the hot loop division-free while staying
+// bit-identical to the double formulation of walk.py / pagraph.py.
+struct Thr {
+    int64_t up, dn;
+};
+
+inline bool ratio_exact(uint64_t delta, int64_t dist, double er) {
+    return std::fabs(1.0 - (double)delta / (double)dist) <= er;
+}
+
+inline Thr make_thr(int64_t dist, double er) {
+    if (dist <= 0) return {-1, -1};  // spec: inf/nan ratios never pass
+    int64_t g = (int64_t)(er * (double)dist) + 2;
+    while (g > 0 && !ratio_exact((uint64_t)(dist + g), dist, er)) --g;
+    int64_t up = ratio_exact((uint64_t)(dist + g), dist, er) ? g : -1;
+    g = std::min((int64_t)(er * (double)dist) + 2, dist);
+    while (g > 0 && !ratio_exact((uint64_t)(dist - g), dist, er)) --g;
+    int64_t dn = ratio_exact((uint64_t)(dist - g), dist, er) ? g : -1;
+    return {up, dn};
+}
+
+inline bool ratio_ok(uint64_t delta, int64_t dist, const Thr& t) {
+    int64_t d = (int64_t)delta;  // wrapped uint32 value, fits int64
+    return d >= dist ? (d - dist) <= t.up : (dist - d) <= t.dn;
+}
+
+// check_position fused with the guarded edge_similar outputs the level
+// filters need (es1/es2) — the pre-fused code graded each candidate
+// with 6 double divisions across two passes.
+inline int check_position_fast(uint64_t p1c, uint64_t p1r, uint64_t p2c,
+                               uint64_t p2r, int64_t dist, int64_t dev,
+                               const Thr& thr, bool* es1, bool* es2) {
+    uint64_t dc = (p2c - p1c) & MASK32;
+    uint64_t dr = (p2r - p1r) & MASK32;
+    bool rc_ok = ratio_ok(dc, dist, thr);
+    bool rr_ok = ratio_ok(dr, dist, thr);
+    uint64_t tc = p1c != 0 ? ((p1c + (uint64_t)dist) & MASK32) : 0;
+    uint64_t tr = p1r != 0 ? ((p1r + (uint64_t)dist) & MASK32) : 0;
+    bool band1 = tc != 0 && p2c != 0
+        && std::llabs((int64_t)tc - (int64_t)p2c) <= dev;
+    bool band2 = tr != 0 && p2r != 0
+        && std::llabs((int64_t)tr - (int64_t)p2r) <= dev;
+    bool e1 = band1 || (p1c != 0 && p2c != 0 && rc_ok);
+    bool e2 = band2 || (p1r != 0 && p2r != 0 && rr_ok);
+    *es1 = e1;
+    *es2 = e2;
+    bool s1 = e1 || rc_ok;
+    bool s2 = e2 || rr_ok;
     bool ctg_zero = p1c == 0 || p2c == 0;
     bool ref_zero = p1r == 0 || p2r == 0;
     if (ctg_zero) {
@@ -189,6 +233,17 @@ struct Handle {
     int64_t deviation = 0, min_len = 0, top_k = 8;
     double error_rate = 0.0, start_split = 0.0;
     int walk_threads = 1;
+    // ratio thresholds per edge-step value (index = dist)
+    std::vector<Thr> thr_table;
+
+    void build_thr_table(int64_t n_edges) {
+        int64_t max_step = 0;
+        for (int64_t e = 0; e < n_edges; ++e)
+            max_step = std::max(max_step, edge_step[e]);
+        thr_table.resize((size_t)max_step + 1);
+        for (int64_t d = 0; d <= max_step; ++d)
+            thr_table[(size_t)d] = make_thr(d, error_rate);
+    }
     // workspace pool: agt_travel is re-entrant (the per-contig travel
     // loop runs threadNum/8-wide in Python, PAssembly.cpp:30 semantics)
     std::mutex ws_mu;
@@ -227,19 +282,18 @@ void classify_successors(Handle* h, int64_t node, int64_t pos_idx,
     for (int64_t e = h->edge_start[node]; e < h->edge_start[node + 1]; ++e) {
         int64_t child = h->edge_to[e];
         int64_t step = h->edge_step[e];
+        const Thr thr = h->thr_table[(size_t)step];
         for (int64_t pi = h->pos_start[child];
              pi < h->pos_start[child + 1]; ++pi) {
             if (h->used[pi]) continue;
-            int g = check_position(p1c, p1r, h->pos_ctg[pi],
-                                   h->pos_ref[pi], step, h->deviation,
-                                   h->error_rate);
+            bool es1, es2;
+            int g = check_position_fast(p1c, p1r, h->pos_ctg[pi],
+                                        h->pos_ref[pi], step, h->deviation,
+                                        thr, &es1, &es2);
             if (g == Oops) continue;
             // level filters (walk.py:129-136)
             int64_t pc = (int64_t)h->pos_ctg[pi];
             bool spc0 = pc == 0;
-            bool es1, es2;
-            edge_similar(p1c, p1r, h->pos_ctg[pi], h->pos_ref[pi], step,
-                         h->deviation, h->error_rate, &es1, &es2);
             bool keep = true;
             for (int li = 0; li < n_levels && keep; ++li) {
                 const Level* lvl = levels[li];
@@ -527,6 +581,7 @@ void* agt_create(
         walk_threads = (int64_t)std::thread::hardware_concurrency();
     h->walk_threads =
         (int)std::max((int64_t)1, std::min(walk_threads, top_k));
+    h->build_thr_table(edge_start[n_nodes]);
     return h;
 }
 
