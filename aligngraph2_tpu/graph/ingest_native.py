@@ -35,7 +35,12 @@ _i64 = ctypes.c_int64
 _pi64 = ctypes.POINTER(_i64)
 _ppi64 = ctypes.POINTER(_pi64)
 _pi32 = ctypes.POINTER(ctypes.c_int32)
+_pu32 = ctypes.POINTER(ctypes.c_uint32)
+_pu16 = ctypes.POINTER(ctypes.c_uint16)
 _pu8 = ctypes.POINTER(ctypes.c_uint8)
+_ppi32 = ctypes.POINTER(_pi32)
+_ppu32 = ctypes.POINTER(_pu32)
+_ppu16 = ctypes.POINTER(_pu16)
 
 
 _FLAGS = ["-O3", "-shared", "-fPIC", "-pthread"]
@@ -68,23 +73,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _pi64, _pi64, _pi64, _pi64, _pi64,       # AlignReference CSR
             _pi64, _i64,                             # ref mapper
             _pi32, _i64, _i64, _i64,                 # graph + params
-            _ppi64, _ppi64, _ppi64, _ppi64, _ppi64, _ppi64,
+            _ppi32, _ppu32, _ppu32, _ppi32, _ppi32, _ppi32,
             _pi64, _pi64,
         ]
-        lib.agp_free.argtypes = [_pi64]
+        lib.agp_free.argtypes = [ctypes.c_void_p]
         lib.agp_sort3.restype = _i64
         lib.agp_sort3.argtypes = [_pi64, _pi64, _pi64, _i64, _pi64]
-        lib.agp_merge_pos.restype = _i64
-        lib.agp_merge_pos.argtypes = [
-            _pi64, _pi64, _pi64, _pi64, _i64, _i64, _i64, _i64,
-            _ppi64, _ppi64, _ppi64, _ppi64, _pi64,
-        ]
         lib.agp_merge_pos2.restype = _i64
-        lib.agp_merge_pos2.argtypes = lib.agp_merge_pos.argtypes
+        lib.agp_merge_pos2.argtypes = [
+            _pi32, _pu32, _pu32, _pu16, _i64, _i64, _i64, _i64,
+            _ppi32, _ppu32, _ppu32, _ppu16, _pi64,
+        ]
         lib.agp_merge_edges.restype = _i64
         lib.agp_merge_edges.argtypes = [
-            _pi64, _pi64, _pi64, _i64,
-            _ppi64, _ppi64, _ppi64, _pi64,
+            _pi32, _pi32, _pi32, _i64,
+            _ppi32, _ppi32, _ppi32, _pi64,
         ]
         _lib = lib
         return _lib
@@ -93,41 +96,37 @@ def get_lib() -> Optional[ctypes.CDLL]:
 def merge_positions_native(node, ctg, ref, cnt, n_nodes: int, eps: int,
                            threads: int = 0):
     """(node, ctg, ref, count) after the full epsilon merge, sorted by
-    (node, ctg, ref); None -> caller uses the numpy spec path."""
+    (node, ctg, ref), in the graph's storage dtypes (int32/uint32/
+    uint32/uint16); None -> caller uses the numpy spec path."""
     lib = get_lib()
     if lib is None:
         return None
     if threads <= 0:
         threads = os.cpu_count() or 1
-    a_node = _c(node, np.int64)
-    a_ctg = _c(ctg, np.int64)
-    a_ref = _c(ref, np.int64)
-    a_cnt = _c(cnt, np.int64)
-    o = [_pi64() for _ in range(4)]
+    a_node = _c(node, np.int32)
+    a_ctg = _c(ctg, np.uint32)
+    a_ref = _c(ref, np.uint32)
+    a_cnt = _c(cnt, np.uint16)
+    o = [_pi32(), _pu32(), _pu32(), _pu16()]
     out_n = _i64()
-    args = (
-        a_node.ctypes.data_as(_pi64), a_ctg.ctypes.data_as(_pi64),
-        a_ref.ctypes.data_as(_pi64), a_cnt.ctypes.data_as(_pi64),
+    rc = lib.agp_merge_pos2(
+        a_node.ctypes.data_as(_pi32), a_ctg.ctypes.data_as(_pu32),
+        a_ref.ctypes.data_as(_pu32), a_cnt.ctypes.data_as(_pu16),
         len(a_node), n_nodes, eps, threads,
         ctypes.byref(o[0]), ctypes.byref(o[1]), ctypes.byref(o[2]),
         ctypes.byref(o[3]), ctypes.byref(out_n))
-    # radix merge (agp_merge_pos2): ~7x the node-bucketed variant at the
-    # 50M-position genome scale and no node-indexed scratch; the
-    # bucketed variant remains for n_nodes beyond uint32
-    rc = lib.agp_merge_pos2(*args)
-    if rc == -2:
-        rc = lib.agp_merge_pos(*args)
     try:
         if rc != 0:
             return None
         n = int(out_n.value)
 
-        def arr(p):
+        def arr(p, dt):
             if n == 0:
-                return np.zeros(0, np.int64)
+                return np.zeros(0, dt)
             return np.ctypeslib.as_array(p, shape=(n,)).copy()
 
-        return arr(o[0]), arr(o[1]), arr(o[2]), arr(o[3])
+        return (arr(o[0], np.int32), arr(o[1], np.uint32),
+                arr(o[2], np.uint32), arr(o[3], np.uint16))
     finally:
         for p in o:
             if p:
@@ -136,18 +135,18 @@ def merge_positions_native(node, ctg, ref, cnt, n_nodes: int, eps: int,
 
 def merge_edges_native(frm, to, step):
     """Exact (from, to, step) dedup in ascending order via the fused
-    radix core; None -> caller falls back (unavailable or >uint32)."""
+    radix core, int32 in/out; None -> caller falls back."""
     lib = get_lib()
     if lib is None:
         return None
-    a_f = _c(frm, np.int64)
-    a_t = _c(to, np.int64)
-    a_s = _c(step, np.int64)
-    o = [_pi64() for _ in range(3)]
+    a_f = _c(frm, np.int32)
+    a_t = _c(to, np.int32)
+    a_s = _c(step, np.int32)
+    o = [_pi32() for _ in range(3)]
     out_n = _i64()
     rc = lib.agp_merge_edges(
-        a_f.ctypes.data_as(_pi64), a_t.ctypes.data_as(_pi64),
-        a_s.ctypes.data_as(_pi64), len(a_f),
+        a_f.ctypes.data_as(_pi32), a_t.ctypes.data_as(_pi32),
+        a_s.ctypes.data_as(_pi32), len(a_f),
         ctypes.byref(o[0]), ctypes.byref(o[1]), ctypes.byref(o[2]),
         ctypes.byref(out_n))
     try:
@@ -157,7 +156,7 @@ def merge_edges_native(frm, to, step):
 
         def arr(p):
             if n == 0:
-                return np.zeros(0, np.int64)
+                return np.zeros(0, np.int32)
             return np.ctypeslib.as_array(p, shape=(n,)).copy()
 
         return arr(o[0]), arr(o[1]), arr(o[2])
@@ -322,7 +321,7 @@ def ingest_pass(pp, pass2: bool, threads: int = 0) -> bool:
     if threads <= 0:
         threads = os.cpu_count() or 1
 
-    o = [_pi64() for _ in range(6)]
+    o = [_pi32(), _pu32(), _pu32(), _pi32(), _pi32(), _pi32()]
     n_pos = _i64()
     n_edge = _i64()
     rc = lib.agp_ingest_pass(
@@ -351,7 +350,7 @@ def ingest_pass(pp, pass2: bool, threads: int = 0) -> bool:
 
         def arr(p, n):
             if n == 0:
-                return np.zeros(0, np.int64)
+                return np.zeros(0, np.int32)
             return np.ctypeslib.as_array(p, shape=(n,)).copy()
 
         if np_:

@@ -91,9 +91,10 @@ def merge_positions_device(pos_node: np.ndarray, pos_ctg: np.ndarray,
     n = len(pos_node)
     if n == 0 or int(pos_node.max()) >= np.iinfo(np.int32).max:
         return None
-    # Coordinates are stored uint64 but the kernel works in uint32; a
-    # value above 2^32 would silently truncate and mis-cluster.  Guard
-    # and fall back, mirroring agp_merge_pos2 / merge_edges_device.
+    # The kernel works in uint32; a coordinate above 2^32 would silently
+    # truncate and mis-cluster.  Storage is uint32 (pagraph.POS_DTYPES)
+    # so this guard only fires for wider test inputs — fall back,
+    # mirroring merge_edges_device.
     if int(pos_ctg.max()) > 0xFFFFFFFF or int(pos_ref.max()) > 0xFFFFFFFF:
         return None
     cap = _bucket(n)
@@ -117,10 +118,10 @@ def merge_positions_device(pos_node: np.ndarray, pos_ctg: np.ndarray,
     csum = np.concatenate([[0], np.cumsum(scnt, dtype=np.int64)])
     ends = np.concatenate([firsts[1:], [n]])
     sums = csum[ends] - csum[firsts]
-    return (snode[firsts].astype(np.int64),
-            sctg[firsts].astype(np.uint64),
-            sref[firsts].astype(np.uint64),
-            np.minimum(sums, 0xFFFF))
+    return (snode[firsts].astype(np.int32),
+            sctg[firsts].astype(np.uint32),
+            sref[firsts].astype(np.uint32),
+            np.minimum(sums, 0xFFFF).astype(np.uint16))
 
 
 def merge_edges_device(edge_from: np.ndarray, edge_to: np.ndarray,
@@ -151,5 +152,5 @@ def merge_edges_device(edge_from: np.ndarray, edge_to: np.ndarray,
     except Exception:
         return None
     keep = np.flatnonzero(boundary)
-    return (sf[keep].astype(np.int64), st[keep].astype(np.int64),
-            ss[keep].astype(np.int64))
+    return (sf[keep].astype(np.int32), st[keep].astype(np.int32),
+            ss[keep].astype(np.int32))

@@ -31,7 +31,7 @@ from typing import Tuple
 
 import numpy as np
 
-U32 = np.uint64  # positions are stored as uint32 values inside uint64 math
+U32 = np.uint64  # similarity math widens uint32 coordinates to uint64
 MASK32 = np.uint64(0xFFFFFFFF)
 
 
@@ -129,20 +129,22 @@ def check_position(p1_ctg, p1_ref, p2_ctg, p2_ref, dist, deviation,
     return out
 
 
-def _append3(buf, n, a, b, c):
-    """Append three equal-length streams to a (3, cap) doubling buffer."""
+def _append3(buf, n, a, b, c, dtypes=(np.int64, np.int64, np.int64)):
+    """Append three equal-length streams to a doubling SoA buffer (one
+    array per column, each with its own storage dtype)."""
     m = len(a)
     if buf is None:
         cap = max(4096, 2 * m)
-        buf = np.empty((3, cap), np.int64)
-    elif n + m > buf.shape[1]:
-        cap = max(2 * buf.shape[1], n + m)
-        nbuf = np.empty((3, cap), np.int64)
-        nbuf[:, :n] = buf[:, :n]
+        buf = [np.empty(cap, dt) for dt in dtypes]
+    elif n + m > len(buf[0]):
+        cap = max(2 * len(buf[0]), n + m)
+        nbuf = [np.empty(cap, col.dtype) for col in buf]
+        for col, ncol in zip(buf, nbuf):
+            ncol[:n] = col[:n]
         buf = nbuf
-    buf[0, n:n + m] = a
-    buf[1, n:n + m] = b
-    buf[2, n:n + m] = c
+    buf[0][n:n + m] = a
+    buf[1][n:n + m] = b
+    buf[2][n:n + m] = c
     return buf, n + m
 
 
@@ -169,22 +171,31 @@ class PAGraph:
 
     # ---------------- ingest ----------------
 
+    # Storage dtypes — the reference's own widths (KMerAdjNode.hpp:19-23:
+    # uint32 DualPos coordinates, uint16 CountType): node ids fit int32
+    # (<= 4^15), flat coordinates fit uint32 (the mapper layout is
+    # guarded at ingest, processor.py pre_process), counts saturate at
+    # 0xFFFF.  Halves the graph's resident footprint and memory traffic
+    # vs the previous int64 streams.
+    POS_DTYPES = (np.int32, np.uint32, np.uint32)
+    EDGE_DTYPES = (np.int32, np.int32, np.int32)
+
     def reset(self) -> None:
         """resetAllNodes: drop all positions and edges."""
         # ingest buffers: amortized-doubling SoA appends (the per-read
         # chunk lists they replace caused one giant concatenate per pass)
-        self._pos_buf = None    # (3, cap) int64 rows: node, ctg, ref
+        self._pos_buf = None    # [node i32, ctg u32, ref u32] columns
         self._pos_n = 0
-        self._edge_buf = None   # (3, cap) int64 rows: from, to, step
+        self._edge_buf = None   # [from, to, step] int32 columns
         self._edge_n = 0
-        self.pos_node = np.zeros(0, np.int64)
-        self.pos_ctg = np.zeros(0, np.uint64)
-        self.pos_ref = np.zeros(0, np.uint64)
-        self.pos_count = np.zeros(0, np.int64)
+        self.pos_node = np.zeros(0, np.int32)
+        self.pos_ctg = np.zeros(0, np.uint32)
+        self.pos_ref = np.zeros(0, np.uint32)
+        self.pos_count = np.zeros(0, np.uint16)
         self.pos_start = np.zeros(self.n_nodes + 1, np.int64)
-        self.edge_from = np.zeros(0, np.int64)
-        self.edge_to = np.zeros(0, np.int64)
-        self.edge_step = np.zeros(0, np.int64)
+        self.edge_from = np.zeros(0, np.int32)
+        self.edge_to = np.zeros(0, np.int32)
+        self.edge_step = np.zeros(0, np.int32)
         self.edge_start = np.zeros(self.n_nodes + 1, np.int64)
         self.used = np.zeros(0, bool)
         self._merged = False
@@ -249,23 +260,24 @@ class PAGraph:
                       np.cumsum(cnt) - cnt, cnt))
         self._pos_buf, self._pos_n = _append3(
             self._pos_buf, self._pos_n, rep_nodes, dual_ctg[gather],
-            dual_ref[gather])
+            dual_ref[gather], self.POS_DTYPES)
         if len(sel_pos) > 1:
             steps = np.diff(sel_pos)
             self._edge_buf, self._edge_n = _append3(
-                self._edge_buf, self._edge_n, nodes[:-1], nodes[1:], steps)
+                self._edge_buf, self._edge_n, nodes[:-1], nodes[1:], steps,
+                self.EDGE_DTYPES)
 
     def append_positions(self, nodes, ctg, ref) -> None:
         """Raw position ingest (tests and custom builders)."""
         self._pos_buf, self._pos_n = _append3(
-            self._pos_buf, self._pos_n, np.asarray(nodes, np.int64),
-            np.asarray(ctg, np.int64), np.asarray(ref, np.int64))
+            self._pos_buf, self._pos_n, np.asarray(nodes),
+            np.asarray(ctg), np.asarray(ref), self.POS_DTYPES)
 
     def append_edges(self, frm, to, step) -> None:
         """Raw edge ingest (tests and custom builders)."""
         self._edge_buf, self._edge_n = _append3(
-            self._edge_buf, self._edge_n, np.asarray(frm, np.int64),
-            np.asarray(to, np.int64), np.asarray(step, np.int64))
+            self._edge_buf, self._edge_n, np.asarray(frm),
+            np.asarray(to), np.asarray(step), self.EDGE_DTYPES)
 
     # ---------------- merge phases ----------------
 
@@ -283,20 +295,20 @@ class PAGraph:
         if self._pos_n:
             self._pos_sorted = False
             buf, n = self._pos_buf, self._pos_n
-            self.pos_node = np.concatenate([self.pos_node, buf[0, :n]])
-            self.pos_ctg = np.concatenate(
-                [self.pos_ctg, buf[1, :n].astype(np.uint64)])
-            self.pos_ref = np.concatenate(
-                [self.pos_ref, buf[2, :n].astype(np.uint64)])
+            self.pos_node = np.concatenate([self.pos_node, buf[0][:n]])
+            self.pos_ctg = np.concatenate([self.pos_ctg, buf[1][:n]])
+            self.pos_ref = np.concatenate([self.pos_ref, buf[2][:n]])
             self.pos_count = np.concatenate(
-                [self.pos_count, np.ones(n, np.int64)])
+                [self.pos_count, np.ones(n, np.uint16)])
+            self._pos_buf = None
             self._pos_n = 0
         if self._edge_n:
             self._edges_sorted = False
             buf, n = self._edge_buf, self._edge_n
-            self.edge_from = np.concatenate([self.edge_from, buf[0, :n]])
-            self.edge_to = np.concatenate([self.edge_to, buf[1, :n]])
-            self.edge_step = np.concatenate([self.edge_step, buf[2, :n]])
+            self.edge_from = np.concatenate([self.edge_from, buf[0][:n]])
+            self.edge_to = np.concatenate([self.edge_to, buf[1][:n]])
+            self.edge_step = np.concatenate([self.edge_step, buf[2][:n]])
+            self._edge_buf = None
             self._edge_n = 0
 
     @staticmethod
@@ -332,16 +344,19 @@ class PAGraph:
         min_step = int(self.edge_step.min())
         bs = max(max_step.bit_length(), 1)
         if min_step >= 0 and 2 * bn + bs <= 63:
-            key = ((self.edge_from << (bn + bs))
-                   | (self.edge_to << bs) | self.edge_step)
+            key = ((self.edge_from.astype(np.int64) << (bn + bs))
+                   | (self.edge_to.astype(np.int64) << bs)
+                   | self.edge_step.astype(np.int64))
             key.sort()
             boundary = np.empty(before, np.bool_)
             boundary[0] = True
             np.not_equal(key[1:], key[:-1], out=boundary[1:])
             uniq = key[boundary]
-            self.edge_from = uniq >> (bn + bs)
-            self.edge_to = (uniq >> bs) & ((np.int64(1) << bn) - 1)
-            self.edge_step = uniq & ((np.int64(1) << bs) - 1)
+            self.edge_from = (uniq >> (bn + bs)).astype(np.int32)
+            self.edge_to = ((uniq >> bs)
+                            & ((np.int64(1) << bn) - 1)).astype(np.int32)
+            self.edge_step = (uniq
+                              & ((np.int64(1) << bs) - 1)).astype(np.int32)
         else:
             # beyond the 63-bit packed key (k=14's 82M nodes + long
             # steps land here): fused native radix dedup, then the
@@ -414,10 +429,8 @@ class PAGraph:
                                             self.pos_ref, self.pos_count,
                                             self.n_nodes, int(epsilon))
             if merged is not None:
-                self.pos_node = merged[0]
-                self.pos_ctg = merged[1].astype(np.uint64)
-                self.pos_ref = merged[2].astype(np.uint64)
-                self.pos_count = merged[3]
+                self.pos_node, self.pos_ctg, self.pos_ref, \
+                    self.pos_count = merged
                 self._pos_sorted = True
                 return before - len(self.pos_node)
         order = self._pos_order()
@@ -441,7 +454,8 @@ class PAGraph:
         self.pos_ref = ref[firsts]
         sums = np.bincount(cluster_id, weights=cnt,
                            minlength=n_clusters).astype(np.int64)
-        self.pos_count = np.minimum(sums, 0xFFFF)  # uint16 CountType cap
+        # uint16 CountType cap (KMerAdjNode.hpp:19-23)
+        self.pos_count = np.minimum(sums, 0xFFFF).astype(np.uint16)
         self._pos_sorted = True
         return before - n_clusters
 

@@ -111,6 +111,17 @@ class PositionProcessor:
         self.group = group
         self.ctg_mapper = PositionMapper.from_db(ctg_db)
         self.ref_mapper = PositionMapper.from_db(ref_db)
+        # The graph stores flat coordinates as uint32 (the reference's
+        # own DualPos width, KMerAdjNode.hpp:19-23).  The mapper layout
+        # spans ~4x total sequence length, so one group must stay under
+        # ~1 Gb of contig/ref sequence — same bound as the reference;
+        # the per-reference-group splitting is what keeps runs inside it.
+        for nm, m in (("contig", self.ctg_mapper), ("ref", self.ref_mapper)):
+            if m.extra_start > 0xFFFFFFFF:
+                raise ValueError(
+                    f"{nm} flat-coordinate space {m.extra_start} exceeds "
+                    "uint32 — group too large for the positional graph "
+                    "(split into more reference groups)")
         self._r2c = _by_query(read_to_ctg, read_db, ctg_db)
         self._r2r = _by_query(read_to_ref, read_db, ref_db)
         self._c2r = _by_query(ctg_to_ref, ctg_db, ref_db)

@@ -29,9 +29,14 @@
 
 namespace {
 
+// 32-bit output streams — the graph stores node ids as int32, flat
+// coordinates as uint32 (the reference's own uint32 DualPos width,
+// KMerAdjNode.hpp:19-23; the caller guards the mapper layout) and edge
+// fields as int32.
 struct Buf {
-  std::vector<int64_t> pos_node, pos_ctg, pos_ref;
-  std::vector<int64_t> edge_from, edge_to, edge_step;
+  std::vector<int32_t> pos_node;
+  std::vector<uint32_t> pos_ctg, pos_ref;
+  std::vector<int32_t> edge_from, edge_to, edge_step;
 };
 
 struct Args {
@@ -201,14 +206,14 @@ class Worker {
       const int64_t node = a_.node_table[kmers[p]];
       for (int64_t j = start[p]; j < start[p + 1]; ++j) {
         const Triple& t = tri[order[j]];
-        buf.pos_node.push_back(node);
-        buf.pos_ctg.push_back(t.cflat);
-        buf.pos_ref.push_back(t.rflat);
+        buf.pos_node.push_back(static_cast<int32_t>(node));
+        buf.pos_ctg.push_back(static_cast<uint32_t>(t.cflat));
+        buf.pos_ref.push_back(static_cast<uint32_t>(t.rflat));
       }
       if (prev_node >= 0) {
-        buf.edge_from.push_back(prev_node);
-        buf.edge_to.push_back(node);
-        buf.edge_step.push_back(p - prev_p);
+        buf.edge_from.push_back(static_cast<int32_t>(prev_node));
+        buf.edge_to.push_back(static_cast<int32_t>(node));
+        buf.edge_step.push_back(static_cast<int32_t>(p - prev_p));
       }
       prev_node = node;
       prev_p = p;
@@ -216,15 +221,15 @@ class Worker {
   }
 };
 
-int64_t* to_heap(const std::vector<Buf>& bufs,
-                 std::vector<int64_t> Buf::*member, int64_t total) {
-  int64_t* out =
-      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * (total ? total : 1)));
+template <typename T>
+T* to_heap(const std::vector<Buf>& bufs, std::vector<T> Buf::*member,
+           int64_t total) {
+  T* out = static_cast<T*>(std::malloc(sizeof(T) * (total ? total : 1)));
   if (!out) return nullptr;
   int64_t at = 0;
   for (const Buf& b : bufs) {
-    const std::vector<int64_t>& v = b.*member;
-    std::memcpy(out + at, v.data(), v.size() * sizeof(int64_t));
+    const std::vector<T>& v = b.*member;
+    std::memcpy(out + at, v.data(), v.size() * sizeof(T));
     at += static_cast<int64_t>(v.size());
   }
   return out;
@@ -235,7 +240,8 @@ int64_t* to_heap(const std::vector<Buf>& bufs,
 extern "C" {
 
 // Returns 0 on success, -1 on allocation failure.  Outputs are malloc'd
-// int64 arrays (free with agp_free); *n_pos / *n_edge give their lengths.
+// int32/uint32 arrays (free with agp_free); *n_pos / *n_edge give their
+// lengths.
 int64_t agp_ingest_pass(
     const uint8_t* read_codes, const int64_t* read_off, int64_t n_reads,
     const int64_t* aln_off, const uint8_t* aln_strand,
@@ -247,9 +253,9 @@ int64_t agp_ingest_pass(
     const int64_t* ar_ridx, const int64_t* ar_rpos,
     const int64_t* ref_flat_start, int64_t ref_flat_group,
     const int32_t* node_table, int64_t k, int64_t outer_sample,
-    int64_t n_threads, int64_t** pos_node, int64_t** pos_ctg,
-    int64_t** pos_ref, int64_t** edge_from, int64_t** edge_to,
-    int64_t** edge_step, int64_t* n_pos, int64_t* n_edge) {
+    int64_t n_threads, int32_t** pos_node, uint32_t** pos_ctg,
+    uint32_t** pos_ref, int32_t** edge_from, int32_t** edge_to,
+    int32_t** edge_step, int64_t* n_pos, int64_t* n_edge) {
   Args a;
   a.read_codes = read_codes;
   a.read_off = read_off;
@@ -316,160 +322,34 @@ int64_t agp_ingest_pass(
   return 0;
 }
 
-void agp_free(int64_t* p) { std::free(p); }
+void agp_free(void* p) { std::free(p); }
 
-// Full epsilon position merge (PABruijnGraph::mergeKmerPosition semantics
-// as specified by graph/pagraph.py merge_positions): bucket positions by
-// node (counting sort — node ids are dense), sort each node's positions
-// by (ctg, ref), then chain-cluster: a new cluster opens where a position
-// is not similar to its predecessor (per-axis: both nonzero and within
-// epsilon, or both zero); the representative is the cluster's first
-// (minimum) member and counts sum with the uint16 CountType cap.  One
-// pass, no 50M-wide temporaries — the numpy spec path's gathers and
-// similarity masks dominated the merge wall at genome scale.
-// Returns 0, or -1 on allocation failure.
-int64_t agp_merge_pos(const int64_t* node, const int64_t* ctg,
-                      const int64_t* ref, const int64_t* cnt, int64_t n,
-                      int64_t n_nodes, int64_t eps, int64_t n_threads,
-                      int64_t** out_node, int64_t** out_ctg,
-                      int64_t** out_ref, int64_t** out_cnt,
-                      int64_t* out_n) {
-  struct Rec {
-    uint64_t ctg, ref;
-    int64_t cnt;
-  };
-  if (n <= 0) {
-    *out_node = *out_ctg = *out_ref = *out_cnt = nullptr;
-    *out_n = 0;
-    return 0;
-  }
-  int64_t* off =
-      static_cast<int64_t*>(std::calloc(n_nodes + 1, sizeof(int64_t)));
-  Rec* recs = static_cast<Rec*>(std::malloc(sizeof(Rec) * n));
-  if (!off || !recs) {
-    std::free(off);
-    std::free(recs);
-    return -1;
-  }
-  for (int64_t i = 0; i < n; ++i) ++off[node[i] + 1];
-  for (int64_t b = 0; b < n_nodes; ++b) off[b + 1] += off[b];
-  {
-    std::vector<int64_t> cur(off, off + n_nodes);
-    for (int64_t i = 0; i < n; ++i) {
-      recs[cur[node[i]]++] = {static_cast<uint64_t>(ctg[i]),
-                              static_cast<uint64_t>(ref[i]), cnt[i]};
-    }
-  }
-  // per-bucket sort + chain-cluster, compacting in place; buckets stripe
-  // over threads (each thread owns disjoint buckets, writes only inside
-  // its own buckets and counts its own output)
-  int64_t T = n_threads < 1 ? 1 : n_threads;
-  if (T > n_nodes) T = n_nodes;
-  std::vector<int64_t> kept(n_nodes, 0);
-  auto work = [&](int64_t t0) {
-    for (int64_t b = t0; b < n_nodes; b += T) {
-      const int64_t lo = off[b], hi = off[b + 1];
-      if (lo == hi) continue;
-      std::sort(recs + lo, recs + hi, [](const Rec& a, const Rec& r) {
-        return a.ctg != r.ctg ? a.ctg < r.ctg : a.ref < r.ref;
-      });
-      // chain-cluster against the pre-compaction SORTED predecessor
-      // (not the cluster representative), exactly like the numpy spec's
-      // pairwise boundary mask; compaction writes at w < i, so cur is
-      // copied before any write can touch it
-      int64_t w = lo;
-      Rec prev = recs[lo];
-      for (int64_t i = lo + 1; i < hi; ++i) {
-        const Rec cur = recs[i];
-        const bool s1 = prev.ctg != 0 && cur.ctg != 0 &&
-                        (prev.ctg > cur.ctg ? prev.ctg - cur.ctg
-                                            : cur.ctg - prev.ctg) <=
-                            static_cast<uint64_t>(eps);
-        const bool s2 = prev.ref != 0 && cur.ref != 0 &&
-                        (prev.ref > cur.ref ? prev.ref - cur.ref
-                                            : cur.ref - prev.ref) <=
-                            static_cast<uint64_t>(eps);
-        const bool sim1 = s1 || (prev.ctg == 0 && cur.ctg == 0);
-        const bool sim2 = s2 || (prev.ref == 0 && cur.ref == 0);
-        if (sim1 && sim2) {
-          recs[w].cnt += cur.cnt;
-        } else {
-          recs[++w] = cur;
-        }
-        prev = cur;
-      }
-      kept[b] = w + 1 - lo;
-    }
-  };
-  if (T == 1) {
-    work(0);
-  } else {
-    std::vector<std::thread> pool;
-    for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
-    for (std::thread& th : pool) th.join();
-  }
-  int64_t total = 0;
-  for (int64_t b = 0; b < n_nodes; ++b) total += kept[b];
-  int64_t* on = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* oc = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* orf = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* ocnt =
-      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  if (!on || !oc || !orf || !ocnt) {
-    std::free(off);
-    std::free(recs);
-    std::free(on);
-    std::free(oc);
-    std::free(orf);
-    std::free(ocnt);
-    return -1;
-  }
-  int64_t at = 0;
-  for (int64_t b = 0; b < n_nodes; ++b) {
-    const int64_t lo = off[b];
-    for (int64_t i = 0; i < kept[b]; ++i, ++at) {
-      on[at] = b;
-      oc[at] = static_cast<int64_t>(recs[lo + i].ctg);
-      orf[at] = static_cast<int64_t>(recs[lo + i].ref);
-      const int64_t c = recs[lo + i].cnt;
-      ocnt[at] = c > 0xFFFF ? 0xFFFF : c;
-    }
-  }
-  std::free(off);
-  std::free(recs);
-  *out_node = on;
-  *out_ctg = oc;
-  *out_ref = orf;
-  *out_cnt = ocnt;
-  *out_n = total;
-  return 0;
-}
-
-// Radix-based epsilon position merge — replaces agp_merge_pos's
-// node-bucketed variant at genome scale.  agp_merge_pos allocates THREE
-// node-indexed arrays (offsets, cursor copy, kept counts: ~2 GB at the
-// 82M-node k=14 operating point) and walks them with random access;
-// measured 98 s on the 50M-position bench merge.  Here: 16-byte records
-// LSD-radix-sorted by (node, ctg, ref) with 16-bit counting passes
-// (64 Ki-bin histograms stay L2-resident; constant digits are skipped),
-// then one linear chain-cluster pass — identical output to the numpy
-// spec in graph/pagraph.py::merge_positions.
-int64_t agp_merge_pos2(const int64_t* node, const int64_t* ctg,
-                       const int64_t* ref, const int64_t* cnt, int64_t n,
+// Radix-based epsilon position merge (PABruijnGraph::mergeKmerPosition
+// semantics as specified by graph/pagraph.py merge_positions): 16-byte
+// records LSD-radix-sorted by (node, ctg, ref) with 16-bit counting
+// passes (64 Ki-bin histograms stay L2-resident; constant digits are
+// skipped), then one linear chain-cluster pass — a new cluster opens
+// where a position is not similar to its predecessor (per-axis: both
+// nonzero and within epsilon, or both zero); the representative is the
+// cluster's first (minimum) member and counts sum with the uint16
+// CountType cap.  Identical output to the numpy spec.  Inputs/outputs
+// are the graph's storage dtypes (int32 node, uint32 coords, uint16
+// counts).  Returns 0, or -1 on allocation failure.
+int64_t agp_merge_pos2(const int32_t* node, const uint32_t* ctg,
+                       const uint32_t* ref, const uint16_t* cnt, int64_t n,
                        int64_t n_nodes, int64_t eps, int64_t n_threads,
-                       int64_t** out_node, int64_t** out_ctg,
-                       int64_t** out_ref, int64_t** out_cnt,
+                       int32_t** out_node, uint32_t** out_ctg,
+                       uint32_t** out_ref, uint16_t** out_cnt,
                        int64_t* out_n) {
   (void)n_threads;
+  (void)n_nodes;
   if (n <= 0) {
-    *out_node = *out_ctg = *out_ref = *out_cnt = nullptr;
+    *out_node = nullptr;
+    *out_ctg = *out_ref = nullptr;
+    *out_cnt = nullptr;
     *out_n = 0;
     return 0;
   }
-  if (n_nodes > (int64_t)0xFFFFFFFF) return -2;  // caller falls back
-  for (int64_t i = 0; i < n; ++i)
-    if ((uint64_t)ctg[i] > 0xFFFFFFFFull || (uint64_t)ref[i] > 0xFFFFFFFFull)
-      return -2;  // beyond uint32 coordinates: bucketed variant handles
   struct Rec {
     uint32_t node, ctg, ref, cnt;
   };
@@ -480,12 +360,8 @@ int64_t agp_merge_pos2(const int64_t* node, const int64_t* ctg,
     std::free(b);
     return -1;
   }
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t c = cnt[i];
-    a[i] = {static_cast<uint32_t>(node[i]), static_cast<uint32_t>(ctg[i]),
-            static_cast<uint32_t>(ref[i]),
-            static_cast<uint32_t>(c > 0xFFFF ? 0xFFFF : c)};
-  }
+  for (int64_t i = 0; i < n; ++i)
+    a[i] = {static_cast<uint32_t>(node[i]), ctg[i], ref[i], cnt[i]};
   // LSD passes, least significant first: ref lo/hi, ctg lo/hi, node
   // lo/hi — yields (node, ctg, ref) lexicographic order, stable
   static thread_local std::vector<int64_t> hist;
@@ -540,11 +416,13 @@ int64_t agp_merge_pos2(const int64_t* node, const int64_t* ctg,
     prev = cur;
   }
   const int64_t total = w + 1;
-  int64_t* on = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* oc = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* orf = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* ocnt =
-      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int32_t* on = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * total));
+  uint32_t* oc =
+      static_cast<uint32_t*>(std::malloc(sizeof(uint32_t) * total));
+  uint32_t* orf =
+      static_cast<uint32_t*>(std::malloc(sizeof(uint32_t) * total));
+  uint16_t* ocnt =
+      static_cast<uint16_t*>(std::malloc(sizeof(uint16_t) * total));
   if (!on || !oc || !orf || !ocnt) {
     std::free(a);
     std::free(b);
@@ -555,10 +433,10 @@ int64_t agp_merge_pos2(const int64_t* node, const int64_t* ctg,
     return -1;
   }
   for (int64_t i = 0; i < total; ++i) {
-    on[i] = src[i].node;
+    on[i] = static_cast<int32_t>(src[i].node);
     oc[i] = src[i].ctg;
     orf[i] = src[i].ref;
-    ocnt[i] = src[i].cnt;
+    ocnt[i] = static_cast<uint16_t>(src[i].cnt);
   }
   std::free(a);
   std::free(b);
@@ -572,21 +450,17 @@ int64_t agp_merge_pos2(const int64_t* node, const int64_t* ctg,
 
 // Fused radix edge dedup: exact (from, to, step) unique in (from, to,
 // step)-ascending order — the same counting-pass pattern as
-// agp_merge_pos2, one linear compaction at the end.  Returns -2 when a
-// field exceeds uint32 (caller falls back to the argsort path).
-int64_t agp_merge_edges(const int64_t* frm, const int64_t* to,
-                        const int64_t* step, int64_t n,
-                        int64_t** out_from, int64_t** out_to,
-                        int64_t** out_step, int64_t* out_n) {
+// agp_merge_pos2, one linear compaction at the end.  Fields are the
+// graph's int32 storage (non-negative by construction).
+int64_t agp_merge_edges(const int32_t* frm, const int32_t* to,
+                        const int32_t* step, int64_t n,
+                        int32_t** out_from, int32_t** out_to,
+                        int32_t** out_step, int64_t* out_n) {
   if (n <= 0) {
     *out_from = *out_to = *out_step = nullptr;
     *out_n = 0;
     return 0;
   }
-  for (int64_t i = 0; i < n; ++i)
-    if ((uint64_t)frm[i] > 0xFFFFFFFFull || (uint64_t)to[i] > 0xFFFFFFFFull ||
-        (uint64_t)step[i] > 0xFFFFFFFFull)
-      return -2;
   struct Rec {
     uint32_t f, t, s;
   };
@@ -635,9 +509,9 @@ int64_t agp_merge_edges(const int64_t* frm, const int64_t* to,
       src[++w] = cur;
   }
   const int64_t total = w + 1;
-  int64_t* of = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* ot = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-  int64_t* os = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
+  int32_t* of = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * total));
+  int32_t* ot = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * total));
+  int32_t* os = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * total));
   if (!of || !ot || !os) {
     std::free(a);
     std::free(b);
@@ -647,9 +521,9 @@ int64_t agp_merge_edges(const int64_t* frm, const int64_t* to,
     return -1;
   }
   for (int64_t i = 0; i < total; ++i) {
-    of[i] = src[i].f;
-    ot[i] = src[i].t;
-    os[i] = src[i].s;
+    of[i] = static_cast<int32_t>(src[i].f);
+    ot[i] = static_cast<int32_t>(src[i].t);
+    os[i] = static_cast<int32_t>(src[i].s);
   }
   std::free(a);
   std::free(b);

@@ -183,16 +183,20 @@ struct PosTable {
 };
 
 struct Level {
-    // int32 stamps halve the footprint (workspaces are replicated per
-    // walk thread); the epoch wrap is handled by a full clear.
-    std::vector<int32_t> stamp;
-    int32_t epoch = 0;
+    // uint8 epoch stamps: 1 byte per graph position entry.  Workspaces
+    // replicate one stamp array per level per walk thread (~17 arrays
+    // per concurrent travel), so byte stamps keep the whole workspace
+    // cache- and RSS-friendly (50 MB vs 200 MB per level at the 5 Mb
+    // bench's 49M positions).  The 255-epoch wrap costs one 50 MB clear
+    // every 255 walks — microseconds amortized.
+    std::vector<uint8_t> stamp;
+    uint8_t epoch = 0;
     PosTable table;
     void init(int64_t n_pos) {
         if ((int64_t)stamp.size() != n_pos) stamp.assign((size_t)n_pos, 0);
     }
     void new_epoch() {
-        if (epoch == INT32_MAX) {
+        if (epoch == 0xFF) {
             std::fill(stamp.begin(), stamp.end(), 0);
             epoch = 0;
         }
@@ -217,17 +221,20 @@ struct Workspace {
 };
 
 struct Handle {
-    // graph SoA (borrowed pointers; numpy arrays kept alive by Python)
+    // graph SoA (borrowed pointers; numpy arrays kept alive by Python).
+    // Streams use the graph's narrow storage dtypes (uint32 coords,
+    // uint16 counts, int32 edges — pagraph.py POS_DTYPES/EDGE_DTYPES);
+    // all arithmetic widens to 64-bit on load.
     int64_t n_nodes = 0, n_pos = 0, k = 0;
     const int64_t* node_codes = nullptr;
     const int64_t* pos_start = nullptr;
-    const uint64_t* pos_ctg = nullptr;
-    const uint64_t* pos_ref = nullptr;
-    const int64_t* pos_count = nullptr;
+    const uint32_t* pos_ctg = nullptr;
+    const uint32_t* pos_ref = nullptr;
+    const uint16_t* pos_count = nullptr;
     const uint8_t* used = nullptr;
     const int64_t* edge_start = nullptr;
-    const int64_t* edge_to = nullptr;
-    const int64_t* edge_step = nullptr;
+    const int32_t* edge_to = nullptr;
+    const int32_t* edge_step = nullptr;
     Mapper ctg_map, ref_map;
     // params
     int64_t deviation = 0, min_len = 0, top_k = 8;
@@ -239,7 +246,7 @@ struct Handle {
     void build_thr_table(int64_t n_edges) {
         int64_t max_step = 0;
         for (int64_t e = 0; e < n_edges; ++e)
-            max_step = std::max(max_step, edge_step[e]);
+            max_step = std::max(max_step, (int64_t)edge_step[e]);
         thr_table.resize((size_t)max_step + 1);
         for (int64_t d = 0; d <= max_step; ++d)
             thr_table[(size_t)d] = make_thr(d, error_rate);
@@ -549,10 +556,10 @@ extern "C" {
 void* agt_create(
     int64_t n_nodes, int64_t n_pos, int64_t k,
     const int64_t* node_codes, const int64_t* pos_start,
-    const uint64_t* pos_ctg, const uint64_t* pos_ref,
-    const int64_t* pos_count, const uint8_t* used,
-    const int64_t* edge_start, const int64_t* edge_to,
-    const int64_t* edge_step,
+    const uint32_t* pos_ctg, const uint32_t* pos_ref,
+    const uint16_t* pos_count, const uint8_t* used,
+    const int64_t* edge_start, const int32_t* edge_to,
+    const int32_t* edge_step,
     int64_t ctg_n, const int64_t* ctg_lengths, const int64_t* ctg_starts,
     int64_t ref_n, const int64_t* ref_lengths, const int64_t* ref_starts,
     int64_t deviation, double error_rate, double start_split,

@@ -31,7 +31,9 @@ _tried = False
 
 _i64 = ctypes.c_int64
 _pi64 = ctypes.POINTER(_i64)
-_pu64 = ctypes.POINTER(ctypes.c_uint64)
+_pi32 = ctypes.POINTER(ctypes.c_int32)
+_pu32 = ctypes.POINTER(ctypes.c_uint32)
+_pu16 = ctypes.POINTER(ctypes.c_uint16)
 _pu8 = ctypes.POINTER(ctypes.c_uint8)
 
 
@@ -58,7 +60,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.agt_create.restype = ctypes.c_void_p
         lib.agt_create.argtypes = [
             _i64, _i64, _i64,
-            _pi64, _pi64, _pu64, _pu64, _pi64, _pu8, _pi64, _pi64, _pi64,
+            _pi64, _pi64, _pu32, _pu32, _pu16, _pu8, _pi64, _pi32, _pi32,
             _i64, _pi64, _pi64,
             _i64, _pi64, _pi64,
             _i64, ctypes.c_double, ctypes.c_double, _i64, _i64, _i64,
@@ -89,13 +91,14 @@ class NativeTraverser:
             raise RuntimeError("native traversal unavailable")
         self._lib = lib
         g = st.graph
-        # keep every array alive for the handle's lifetime
+        # keep every array alive for the handle's lifetime (graph streams
+        # are already in their storage dtypes — no widening copies)
         self._keep = [
             _as(g.node_codes, np.int64), _as(g.pos_start, np.int64),
-            _as(g.pos_ctg, np.uint64), _as(g.pos_ref, np.uint64),
-            _as(g.pos_count, np.int64), _as(g.used, np.uint8),
-            _as(g.edge_start, np.int64), _as(g.edge_to, np.int64),
-            _as(g.edge_step, np.int64),
+            _as(g.pos_ctg, np.uint32), _as(g.pos_ref, np.uint32),
+            _as(g.pos_count, np.uint16), _as(g.used, np.uint8),
+            _as(g.edge_start, np.int64), _as(g.edge_to, np.int32),
+            _as(g.edge_step, np.int32),
             _as(st.ctg_mapper.lengths, np.int64),
             _as(st.ctg_mapper.start, np.int64),
             _as(st.ref_mapper.lengths, np.int64),
@@ -105,9 +108,9 @@ class NativeTraverser:
         ptr = lambda a, t: a.ctypes.data_as(t)
         self._h = lib.agt_create(
             g.n_nodes, len(g.pos_node), g.k,
-            ptr(k[0], _pi64), ptr(k[1], _pi64), ptr(k[2], _pu64),
-            ptr(k[3], _pu64), ptr(k[4], _pi64), ptr(k[5], _pu8),
-            ptr(k[6], _pi64), ptr(k[7], _pi64), ptr(k[8], _pi64),
+            ptr(k[0], _pi64), ptr(k[1], _pi64), ptr(k[2], _pu32),
+            ptr(k[3], _pu32), ptr(k[4], _pu16), ptr(k[5], _pu8),
+            ptr(k[6], _pi64), ptr(k[7], _pi32), ptr(k[8], _pi32),
             len(st.ctg_mapper.lengths), ptr(k[9], _pi64),
             ptr(k[10], _pi64),
             len(st.ref_mapper.lengths), ptr(k[11], _pi64),

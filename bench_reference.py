@@ -43,30 +43,17 @@ def build_reference() -> bool:
         return False
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out-dir", required=True,
-                    help="bench_e2e.py output dir (working_dir inside)")
-    ap.add_argument("--data-dir", required=True,
-                    help="bench_e2e.py dataset dir")
-    ap.add_argument("--threads", type=int, default=os.cpu_count() or 2)
-    ap.add_argument("--group", type=int, default=0)
-    args = ap.parse_args()
-    if not build_reference():
-        print(json.dumps({"error": "reference build failed"}))
-        return
-
-    wrk = os.path.join(args.out_dir, "working_dir")
-    metrics = json.load(open(os.path.join(args.out_dir, "metrics.json")))
-
-    # ---- assemble the reference pagraph input group dir ----
+def prepare_group_dir(out_dir: str, data_dir: str, group_idx: int,
+                      tmp: str = "/tmp/agv_refstage"):
+    """Assemble the reference pagraph's input group dir from a
+    bench_e2e.py run's intermediates, subset exactly like the driver's
+    per-group loop.  Returns (in_dir, ref_out_dir, group, info)."""
+    wrk = os.path.join(out_dir, "working_dir")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from aligngraph2_tpu.pipeline.preprocess import read_config
     groups = read_config(os.path.join(wrk, "input", "p", "config.txt"))
-    g = groups[args.group]
-    stage = {}
+    g = groups[group_idx]
 
-    tmp = os.path.join("/tmp", "agv_refstage")
     shutil.rmtree(tmp, ignore_errors=True)
     in_dir = os.path.join(tmp, "group")
     out_ref = os.path.join(tmp, "out")
@@ -79,9 +66,9 @@ def main():
     from aligngraph2_tpu.io.seqdb import SeqDatabase
     from aligngraph2_tpu.pipeline.preprocess import (group_read_names,
                                                      subset_alignments)
-    reads = SeqDatabase.from_file(os.path.join(args.data_dir, "reads.fq"))
-    ctgs = SeqDatabase.from_file(os.path.join(args.data_dir, "ctg.fa"))
-    refs = SeqDatabase.from_file(os.path.join(args.data_dir, "genome.fa"))
+    reads = SeqDatabase.from_file(os.path.join(data_dir, "reads.fq"))
+    ctgs = SeqDatabase.from_file(os.path.join(data_dir, "ctg.fa"))
+    refs = SeqDatabase.from_file(os.path.join(data_dir, "genome.fa"))
     r2c = AlignmentSet.read_ref(
         os.path.join(wrk, "mecat", "ctg", "read_to_contig.ref"))
     r2r = AlignmentSet.read_ref(
@@ -109,19 +96,45 @@ def main():
         for n, fwd in g.contigs:
             f.write(f"{n}\n{1 if fwd else 0}\n")
         f.write("\n")
-    stage["n_group_reads"] = len(names)
-    stage["n_group_ctgs"] = len(member)
+    return in_dir, out_ref, g, {"n_group_reads": len(names),
+                                "n_group_ctgs": len(member)}
 
-    # ---- reference pagraph on the group ----
-    t0 = time.time()
-    res = subprocess.run(
-        [os.path.join(REF_BUILD, "pagraph"), "-t", str(args.threads),
+
+def run_reference_pagraph(wrk: str, in_dir: str, out_ref: str,
+                          threads: int):
+    """Run the reference pagraph binary on a prepared group dir."""
+    return subprocess.run(
+        [os.path.join(REF_BUILD, "pagraph"), "-t", str(threads),
          "-k", os.path.join(wrk, "solid_kmer_set.bin"),
          "-c", os.path.join(in_dir, "ctg.fasta"),
          "-R", os.path.join(in_dir, "ref.fasta"),
          "-p", in_dir, "-a", os.path.join(in_dir, "aln"),
          "-o", out_ref, "-l", "50", "--epsilon", "10", "-v", "2"],
         capture_output=True, timeout=14400)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", required=True,
+                    help="bench_e2e.py output dir (working_dir inside)")
+    ap.add_argument("--data-dir", required=True,
+                    help="bench_e2e.py dataset dir")
+    ap.add_argument("--threads", type=int, default=os.cpu_count() or 2)
+    ap.add_argument("--group", type=int, default=0)
+    args = ap.parse_args()
+    if not build_reference():
+        print(json.dumps({"error": "reference build failed"}))
+        return
+
+    wrk = os.path.join(args.out_dir, "working_dir")
+    metrics = json.load(open(os.path.join(args.out_dir, "metrics.json")))
+
+    in_dir, out_ref, g, stage = prepare_group_dir(
+        args.out_dir, args.data_dir, args.group)
+
+    # ---- reference pagraph on the group ----
+    t0 = time.time()
+    res = run_reference_pagraph(wrk, in_dir, out_ref, args.threads)
     stage["ref_pagraph_s"] = round(time.time() - t0, 2)
     stage["ref_pagraph_rc"] = res.returncode
     stage["our_pagraph_s"] = metrics["stage_s"].get("pagraph")
@@ -133,7 +146,7 @@ def main():
             and os.path.getsize(add_path) > 0:
         from aligngraph2_tpu.io.fasta import read_seqs
         name, seq = next(iter(read_seqs(add_path)))
-        bdir = os.path.join(tmp, "cns")
+        bdir = os.path.join("/tmp/agv_refstage", "cns")
         os.makedirs(bdir)
         bfa = os.path.join(bdir, "b.fasta")
         write_fasta(bfa, [(name, seq)])
