@@ -81,7 +81,8 @@ class LongReadAligner:
         return find_candidates(
             self.index, qk_f, qk_r, bin_w=max(cfg.band_width // 2, 32),
             max_candidates=cfg.max_candidates,
-            min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta)
+            min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta,
+            prune=cfg.prune_ratio)
 
     # ---------------- checkpointing ----------------
 
@@ -134,7 +135,8 @@ class LongReadAligner:
             self.index, read_db, list(ids),
             bin_w=max(cfg.band_width // 2, 32),
             max_candidates=cfg.max_candidates,
-            min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta)
+            min_hits=cfg.min_block_hits, alpha=cfg.alpha, beta=cfg.beta,
+            prune=cfg.prune_ratio)
         jobs = []  # (rid, cand, codes_aligned_strand)
         for rid, cands in cand_map.items():
             if not cands:
@@ -267,8 +269,11 @@ class LongReadAligner:
         from ..ops.banded_pallas import Q_SENTINEL, standard_frame_windows
         cfg = self.cfg
         W = max(cfg.band_width, 256)
-        TB = 128
-        B = ((len(batch) + TB - 1) // TB) * TB
+        # pad every batch to the bucket's FULL batch size: a remainder
+        # batch padded merely to a multiple of 128 mints a new (B, NQ)
+        # kernel shape, and one fresh pallas compile through the remote
+        # relay costs 30-100 s — far more than the inert lanes (~0.2 s)
+        B = self._batch_size(NQ, True)
         q = np.full((B, NQ), Q_SENTINEL, np.uint8)
         qlen = np.zeros(B, np.int32)
         t_codes = []
@@ -418,6 +423,7 @@ class LongReadAligner:
                 bin_w=max(cfg.band_width // 2, 32),
                 min_hits=cfg.min_block_hits, alpha=cfg.alpha,
                 beta=cfg.beta, K=cfg.max_candidates,
+                prune=cfg.prune_ratio,
                 data_axis=self._data_axis, block_axis=self._block_axis)
         return self._seeders[NQ]
 

@@ -39,6 +39,13 @@ class AlignerConfig:
     delta: float = 0.9              # alignment score acceptance threshold
     max_candidates: int = 8         # candidate (block,strand) pairs per read
     min_block_hits: int = 4         # min seed hits for a candidate block
+    candidate_prune: float = -1.0   # pre-extension prune: drop candidates
+                                    # with seed hits < prune * the read's
+                                    # best-candidate hits.  -1 = auto
+                                    # (delta^2 — justified by the delta
+                                    # output contract, see
+                                    # ops/seedextend.py
+                                    # _finalize_read_candidates); 0 = off
     band_width: int = 256           # DP band width (lanes); power of two
     match_score: int = 2
     mismatch_score: int = -4
@@ -58,6 +65,12 @@ class AlignerConfig:
                                     # the aligner (padding past this would
                                     # blow the DP stream budget; ultra-long
                                     # outliers add nothing at 2^17+ bp)
+
+    @property
+    def prune_ratio(self) -> float:
+        """Effective pre-extension candidate prune (see candidate_prune)."""
+        return (self.candidate_prune if self.candidate_prune >= 0
+                else self.delta ** 2)
 
 
 @dataclass
@@ -152,6 +165,8 @@ class PipelineConfig:
             raise ValueError("Upper bound of k-mer scoring must be >= 1")
         if not 0.0 <= a.delta <= 1.0:
             raise ValueError("threshold for alignment scoring must be [0-1]")
+        if a.candidate_prune != -1.0 and not 0.0 <= a.candidate_prune <= 1.0:
+            raise ValueError("candidate_prune must be [0-1] or -1 (auto)")
         if not 1 <= g.cov_filter:
             raise ValueError("coverage to filter alignments must be >= 1")
         if not 5 <= g.epsilon <= 100:

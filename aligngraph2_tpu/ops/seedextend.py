@@ -125,8 +125,21 @@ class Candidate:
     score: float      # clamped ranking score
 
 
-def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta):
-    """Dedupe near-diagonal duplicates, apply the alpha/beta clamp, rank."""
+def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta,
+                              prune: float = 0.0):
+    """Dedupe near-diagonal duplicates, apply the alpha/beta clamp, rank.
+
+    ``prune`` drops candidates whose raw seed hits fall below
+    prune * (the read's best candidate hits) BEFORE extension.  The
+    aligner sets it to delta^2 by default: the emitted-output contract
+    only keeps alignments scoring >= delta * the read's best DP score,
+    seed hits track DP score roughly linearly for loci that can compete,
+    and the squared margin absorbs the hits->score nonlinearity of
+    diverged loci (which have disproportionately FEWER hits than score).
+    Measured on the 5 Mb bench: ~87% of extension jobs were <=1%-of-best
+    noise bins that never survived the delta filter.  The threshold is
+    computed in float32 so the host path and the device seeder
+    (parallel/sharded.py _select_read_candidates) agree bit-for-bit."""
     if not cands:
         return []
     cands.sort(key=lambda c: -c.hits)
@@ -136,6 +149,9 @@ def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta):
                   and abs(k.diag - c.diag) <= bin_w for k in kept)
         if not dup:
             kept.append(c)
+    if prune > 0.0 and kept:
+        floor = float(np.float32(prune) * np.float32(kept[0].hits))
+        kept = [c for c in kept if float(np.float32(c.hits)) >= floor]
     mean_hits = float(np.mean([c.hits for c in kept]))
     for c in kept:
         c.score = float(np.clip(c.hits, alpha * mean_hits,
@@ -146,7 +162,8 @@ def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta):
 
 def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
                           max_candidates: int, min_hits: int, alpha: float,
-                          beta: float, chunk_kmers: int = 32_000_000):
+                          beta: float, prune: float = 0.0,
+                          chunk_kmers: int = 32_000_000):
     """Vectorized seeding over MANY reads at once.
 
     One searchsorted over the concatenated k-mers of a whole read chunk
@@ -273,14 +290,15 @@ def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
             by_read.setdefault(rid, []).extend(cands)
         for rid, cands in by_read.items():
             out[rid] = _finalize_read_candidates(
-                cands, bin_w, max_candidates, alpha, beta)
+                cands, bin_w, max_candidates, alpha, beta, prune)
     return out
 
 
 def find_candidates(index: SeedIndex, q_codes_fwd: np.ndarray,
                     q_codes_rev: np.ndarray, *, bin_w: int,
                     max_candidates: int, min_hits: int,
-                    alpha: float, beta: float) -> List[Candidate]:
+                    alpha: float, beta: float,
+                    prune: float = 0.0) -> List[Candidate]:
     """Candidate (target, strand, diagonal) triples for one read."""
     rows = []
     for forward, q_codes in ((True, q_codes_fwd), (False, q_codes_rev)):
@@ -324,21 +342,6 @@ def find_candidates(index: SeedIndex, q_codes_fwd: np.ndarray,
             cands.append(Candidate(tid=tid, forward=forward, diag=med,
                                    hits=int(cnt[g]), score=0.0))
 
-    if not cands:
-        return []
-    # de-duplicate: same (tid, strand) with diagonals within bin_w collapse
-    # to the strongest
-    cands.sort(key=lambda c: -c.hits)
-    kept: List[Candidate] = []
-    for c in cands:
-        dup = any(k.tid == c.tid and k.forward == c.forward
-                  and abs(k.diag - c.diag) <= bin_w for k in kept)
-        if not dup:
-            kept.append(c)
-    # alpha/beta clamp on ranking scores relative to the read's mean
-    mean_hits = float(np.mean([c.hits for c in kept]))
-    for c in kept:
-        c.score = float(np.clip(c.hits, alpha * mean_hits,
-                                beta * mean_hits))
-    kept.sort(key=lambda c: -c.score)
-    return kept[:max_candidates]
+    # de-duplicate near-diagonal bins, prune, alpha/beta clamp, rank
+    return _finalize_read_candidates(cands, bin_w, max_candidates, alpha,
+                                     beta, prune)

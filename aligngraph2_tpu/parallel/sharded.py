@@ -165,7 +165,7 @@ def _seed_block_candidates(q_codes, q_valid, sorted_codes, sorted_pos, *,
 
 
 def _select_read_candidates(cnt, tid, gdiag, *, K, min_hits,
-                            alpha, beta, bin_w):
+                            alpha, beta, bin_w, prune=0.0):
     """Global per-read candidate selection over the gathered table.
 
     cnt/tid/gdiag: (N,) flattened (strand, block, T) candidates for ONE
@@ -191,6 +191,13 @@ def _select_read_candidates(cnt, tid, gdiag, *, K, min_hits,
         return kept.at[i].set(keep), None
 
     kept, _ = jax.lax.scan(body, jnp.zeros(N, bool), jnp.arange(N))
+    if prune > 0.0:
+        # pre-extension prune relative to the read's best deduped
+        # candidate; float32 threshold matches the host path bit-for-bit
+        # (ops/seedextend.py _finalize_read_candidates)
+        best = jnp.max(jnp.where(kept, s_cnt, 0)).astype(jnp.float32)
+        kept = kept & (s_cnt.astype(jnp.float32)
+                       >= jnp.float32(prune) * best)
     n_kept = jnp.maximum(jnp.sum(kept.astype(jnp.int32)), 1)
     mean = jnp.sum(jnp.where(kept, s_cnt, 0).astype(jnp.float32)) / n_kept
     score = jnp.clip(s_cnt.astype(jnp.float32),
@@ -210,7 +217,7 @@ def _select_read_candidates(cnt, tid, gdiag, *, K, min_hits,
 
 def _seed_body(q_fwd, q_rev, read_lens, block_lens, block_seq, block_start,
                sorted_codes, sorted_pos, *, k, BL, bin_w, min_hits, occ,
-               max_occ, alpha, beta, K, block_axis):
+               max_occ, alpha, beta, K, prune, block_axis):
     """SEED per-shard body: local seeding + all_gather + global top-K."""
     B, NQ = q_fwd.shape
     nbins = int(np.ceil((BL + NQ) / bin_w)) + 2
@@ -246,7 +253,7 @@ def _seed_body(q_fwd, q_rev, read_lens, block_lens, block_seq, block_start,
 
     sel, idx, score = jax.vmap(
         functools.partial(_select_read_candidates, K=K, min_hits=min_hits,
-                          alpha=alpha, beta=beta, bin_w=bin_w)
+                          alpha=alpha, beta=beta, bin_w=bin_w, prune=prune)
     )(cnt2, jnp.broadcast_to(tid_f, (B, N)), gdiag2)
 
     c_block = block_f[idx]                    # (B, K) global block id
@@ -257,13 +264,13 @@ def _seed_body(q_fwd, q_rev, read_lens, block_lens, block_seq, block_start,
 
 
 def make_sharded_seeder(mesh, *, k, BL, bin_w, min_hits, occ=4,
-                        max_occ=256, alpha=0.5, beta=2.0, K=8,
+                        max_occ=256, alpha=0.5, beta=2.0, K=8, prune=0.0,
                         data_axis="data", block_axis="block"):
     """jit(shard_map(seed step)): reads data-parallel, index
     block-sharded, per-read candidate tables data-sharded."""
     body = functools.partial(
         _seed_body, k=k, BL=BL, bin_w=bin_w, min_hits=min_hits, occ=occ,
-        max_occ=max_occ, alpha=alpha, beta=beta, K=K,
+        max_occ=max_occ, alpha=alpha, beta=beta, K=K, prune=prune,
         block_axis=block_axis)
     fn = jax.shard_map(
         body, mesh=mesh,
