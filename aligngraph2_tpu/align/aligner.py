@@ -127,7 +127,22 @@ class LongReadAligner:
                 "(raise AlignerConfig.max_read_len to align them)",
                 self.n_skipped_long, cfg.max_read_len)
         if self.mesh is not None:
-            return self._align_reads_sharded(read_db, ids)
+            # graceful degradation (the reference survives a failing
+            # aligner by falling back to the next one,
+            # /root/reference/AlignGraph2.py:288-296, 306-355): a mesh
+            # path failure mid-run downgrades to the single-device path
+            # instead of killing the pipeline
+            try:
+                return self._align_reads_sharded(read_db, ids)
+            except Exception:
+                import traceback
+                logger.warning(
+                    "sharded alignment failed; falling back to the "
+                    "single-device path:\n%s", traceback.format_exc())
+                self.mesh = None
+                from ..ops.seedextend import SeedIndex
+                self.index = SeedIndex(self.db, cfg.seed_k,
+                                       stride=cfg.seed_stride)
 
         # phase 1: batched seeding (host, one searchsorted per chunk)
         from ..ops.seedextend import find_candidates_batch
@@ -180,32 +195,53 @@ class LongReadAligner:
                 ck.flush(out.alignments[watermark:], consumed)
                 watermark = len(out)
 
+        def finish_or_fallback(pending) -> None:
+            """Drain one in-flight pallas batch; a device failure
+            degrades THAT batch (and all later ones) to the scan/CPU
+            extension path instead of killing the stage — the pipeline
+            analogue of the reference's aligner-fallback chain
+            (AlignGraph2.py:288-296)."""
+            handles, prep, end_i = pending
+            try:
+                self._finish_pallas(read_db, handles, prep, out,
+                                    best_per_read)
+            except Exception:
+                self._degrade_pallas("finish")
+                pb, NQb = prep[0], prep[1]
+                self._extend_batch(read_db, pb, NQb, NQb + 2 * W, out,
+                                   best_per_read)
+            bar.update(len(prep[0]))
+            mark(end_i)
+
         pending = None  # (handles, prep, cursor) of the in-flight batch
         for NQ, pallas_ok, batch, end_i in batches:
-            if pallas_ok:
-                prep = self._prep_pallas(batch, NQ)
-                handles = self._dispatch_pallas(prep)
+            if pallas_ok and self.use_pallas:
+                try:
+                    prep = self._prep_pallas(batch, NQ)
+                    handles = self._dispatch_pallas(prep)
+                except Exception:
+                    self._degrade_pallas("dispatch")
+                    if pending is not None:
+                        finish_or_fallback(pending)
+                        pending = None
+                    self._extend_batch(read_db, batch, NQ, NQ + 2 * W,
+                                       out, best_per_read)
+                    bar.update(len(batch))
+                    mark(end_i)
+                    continue
                 if pending is not None:
-                    self._finish_pallas(read_db, pending[0], pending[1],
-                                        out, best_per_read)
-                    bar.update(len(pending[1][0]))
-                    mark(pending[2])
+                    finish_or_fallback(pending)
                 pending = (handles, prep, end_i)
             else:
                 if pending is not None:
-                    self._finish_pallas(read_db, pending[0], pending[1],
-                                        out, best_per_read)
-                    bar.update(len(pending[1][0]))
-                    mark(pending[2])
+                    finish_or_fallback(pending)
                     pending = None
                 self._extend_batch(read_db, batch, NQ, NQ + 2 * W, out,
                                    best_per_read)
                 bar.update(len(batch))
                 mark(end_i)
         if pending is not None:
-            self._finish_pallas(read_db, pending[0], pending[1], out,
-                                best_per_read)
-            bar.update(len(pending[1][0]))
+            finish_or_fallback(pending)
         if ck is not None:
             ck.close()
 
@@ -221,6 +257,16 @@ class LongReadAligner:
         res = AlignmentSet(kept)
         res.sort_by_score()
         return res
+
+    def _degrade_pallas(self, where: str) -> None:
+        """One-way downgrade pallas -> scan extension, logged once."""
+        if self.use_pallas:
+            import traceback
+            logger.warning(
+                "pallas %s failed; degrading to the scan extension path "
+                "for the rest of the stage:\n%s", where,
+                traceback.format_exc())
+            self.use_pallas = False
 
     def _batch_size(self, NQ: int, pallas: bool) -> int:
         if pallas:
@@ -344,6 +390,12 @@ class LongReadAligner:
         # fixed batch shape per bucket: pad with inert jobs so jit compiles
         # once per (B, NQ) bucket instead of once per ragged batch
         B = self._batch_size(NQ, False)
+        if len(batch) > B:
+            # a degraded pallas batch can exceed the scan batch size
+            for s in range(0, len(batch), B):
+                self._extend_batch(read_db, batch[s:s + B], NQ, NT, out,
+                                   best_per_read)
+            return
         q = np.zeros((B, NQ), np.uint8)
         t = np.zeros((B, NT), np.uint8)
         qlen = np.zeros(B, np.int32)

@@ -129,17 +129,29 @@ def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta,
                               prune: float = 0.0):
     """Dedupe near-diagonal duplicates, apply the alpha/beta clamp, rank.
 
-    ``prune`` drops candidates whose raw seed hits fall below
-    prune * (the read's best candidate hits) BEFORE extension.  The
-    aligner sets it to delta^2 by default: the emitted-output contract
-    only keeps alignments scoring >= delta * the read's best DP score,
-    seed hits track DP score roughly linearly for loci that can compete,
-    and the squared margin absorbs the hits->score nonlinearity of
-    diverged loci (which have disproportionately FEWER hits than score).
-    Measured on the 5 Mb bench: ~87% of extension jobs were <=1%-of-best
-    noise bins that never survived the delta filter.  The threshold is
-    computed in float32 so the host path and the device seeder
-    (parallel/sharded.py _select_read_candidates) agree bit-for-bit."""
+    ``prune`` drops candidates whose CLAMPED score falls below
+    prune * (the read's best clamped score) before extension.  The
+    aligner sets prune to delta^2 by default: the emitted-output
+    contract only keeps alignments scoring >= delta * the read's best DP
+    score, seed hits track DP score roughly linearly for loci that can
+    compete, and the squared margin absorbs the hits->score nonlinearity
+    of diverged loci (which have disproportionately FEWER hits than
+    score).  Measured on the 5 Mb bench: ~87% of extension jobs were
+    <=1%-of-best noise bins that never survived the delta filter.
+
+    Pruning on the CLAMPED score is where the recovered mecat2ref+
+    alpha/beta semantics (/root/reference/README.md:43-51: candidate
+    blocks scored by a k-mer function clamped to [alpha, beta]) act on
+    OUTCOMES: the beta cap bounds the bar a dominant repeat family sets
+    (beta down -> repeat crowding suppressed), and the alpha floor lifts
+    weakly-seeded diverged loci toward that bar (alpha up -> diverged
+    recall up) — a plain clip is monotone and could never change a
+    top-K ranking on its own (the round-3 null result).  Evidence:
+    bench_mecat_plus.py pressure sweep.
+
+    All clamp/threshold arithmetic is float32 so this host path and the
+    device seeder (parallel/sharded.py _select_read_candidates) agree
+    bit-for-bit."""
     if not cands:
         return []
     cands.sort(key=lambda c: -c.hits)
@@ -149,13 +161,19 @@ def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta,
                   and abs(k.diag - c.diag) <= bin_w for k in kept)
         if not dup:
             kept.append(c)
-    if prune > 0.0 and kept:
-        floor = float(np.float32(prune) * np.float32(kept[0].hits))
-        kept = [c for c in kept if float(np.float32(c.hits)) >= floor]
-    mean_hits = float(np.mean([c.hits for c in kept]))
+    # float32 mean/clamp mirroring the device seeder exactly
+    n_kept = np.float32(len(kept))
+    mean_hits = np.float32(
+        np.sum(np.asarray([c.hits for c in kept], np.float32))) / n_kept
+    lo = np.float32(alpha) * mean_hits
+    hi = np.float32(beta) * mean_hits
     for c in kept:
-        c.score = float(np.clip(c.hits, alpha * mean_hits,
-                                beta * mean_hits))
+        c.score = float(np.clip(np.float32(c.hits), lo, hi))
+    if prune > 0.0 and kept:
+        best_s = np.float32(max(c.score for c in kept))
+        floor = np.float32(prune) * best_s
+        kept = [c for c in kept if np.float32(c.score) >= floor]
+    # clip is monotone, so hits-descending kept order IS score-descending
     kept.sort(key=lambda c: -c.score)
     return kept[:max_candidates]
 

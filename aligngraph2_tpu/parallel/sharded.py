@@ -191,17 +191,18 @@ def _select_read_candidates(cnt, tid, gdiag, *, K, min_hits,
         return kept.at[i].set(keep), None
 
     kept, _ = jax.lax.scan(body, jnp.zeros(N, bool), jnp.arange(N))
-    if prune > 0.0:
-        # pre-extension prune relative to the read's best deduped
-        # candidate; float32 threshold matches the host path bit-for-bit
-        # (ops/seedextend.py _finalize_read_candidates)
-        best = jnp.max(jnp.where(kept, s_cnt, 0)).astype(jnp.float32)
-        kept = kept & (s_cnt.astype(jnp.float32)
-                       >= jnp.float32(prune) * best)
     n_kept = jnp.maximum(jnp.sum(kept.astype(jnp.int32)), 1)
-    mean = jnp.sum(jnp.where(kept, s_cnt, 0).astype(jnp.float32)) / n_kept
+    mean = jnp.sum(jnp.where(kept, s_cnt, 0).astype(jnp.float32)) \
+        / n_kept.astype(jnp.float32)
     score = jnp.clip(s_cnt.astype(jnp.float32),
-                     alpha * mean, beta * mean)
+                     jnp.float32(alpha) * mean, jnp.float32(beta) * mean)
+    if prune > 0.0:
+        # pre-extension prune on the CLAMPED score — where the
+        # alpha/beta clamp acts on outcomes; float32 arithmetic matches
+        # the host path bit-for-bit (ops/seedextend.py
+        # _finalize_read_candidates)
+        best_s = jnp.max(jnp.where(kept, score, 0))
+        kept = kept & (score >= jnp.float32(prune) * best_s)
     # the clamp is monotone, so cnt-descending kept order IS
     # score-descending (the host's stable re-sort is a no-op): the global
     # top-K are simply the first K kept entries
