@@ -52,12 +52,11 @@ T_SENTINEL = 255
 
 
 def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
-               bcol_scr, brow_scr, alive_scr, sub_scr, *, K, W, match,
+               bcol_scr, brow_scr, alive_scr, *, K, W, match,
                mismatch, gap, ks_shifts, x_drop):
     """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; qlen_ref (1, TB) i32;
     best_ref (8, TB) i32; words_ref (K/16, W, TB) i32; H_scr (W, TB) i32;
-    bcol_scr/brow_scr (W, TB) i32; alive_scr (1, 1) i32 SMEM;
-    sub_scr (K, W, TB) i8.
+    bcol_scr/brow_scr (W, TB) i32; alive_scr (1, 1) i32 SMEM.
 
     Directions leave the kernel PRE-PACKED: 16 consecutive rows' 2-bit
     codes accumulate in a VMEM register block and land in HBM as one
@@ -76,10 +75,12 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
     holding the max at that row has brow == that row (an earlier brow
     would contradict minimality).
 
-    Substitution rows are staged into an int8 VMEM scratch first (phase
-    1): Mosaic needs the slab[r:r+W] sublane slices static, and fully
-    unrolling all K rows instead blows up compile time; per-row dynamic
-    indexing then only touches the LEADING dim of the >=3-D scratch.
+    The row loop is a fully STATIC unroll of all K rows: Mosaic needs
+    the slab[r:r+W] sublane slices static, so the substitution compare
+    fuses straight into the row recurrence — the previous version
+    staged all K substitution rows through an int8 VMEM scratch first
+    (an extra store+load round trip per cell and the r3 roofline
+    culprit) to keep the word loop dynamic.
 
     x_drop > 0 adds tile-level early exit: once EVERY lane of the batch
     tile is dead (its rows ran past qlen, or — after it started scoring —
@@ -99,22 +100,20 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
             alive_scr[0, 0] = 1
 
     def compute():
-        # phase 1: substitution rows (static sliding windows)
         t_slab = slab_ref[0].astype(jnp.int32)        # (K + W, TB)
         q_all = q_ref[:].astype(jnp.int32)            # (K, TB)
-        for r in range(K):
-            sub_scr[r, :, :] = jnp.where(
-                t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
-                mismatch).astype(jnp.int8)
-
-        # phase 2: sequential DP rows, 16 per packed word
-        def word_loop(w, carry):
-            H, bcol, brow = carry
+        H = H_scr[:]
+        bcol = bcol_scr[:]
+        brow = brow_scr[:]
+        for w in range(K // 16):                      # static unroll
             acc = jnp.zeros((W, TB), jnp.int32)
-            for s in range(16):                       # static unroll
+            for s in range(16):
                 r = w * 16 + s
                 i = chunk * K + (r + 1)               # global row index
-                sub = sub_scr[r, :, :].astype(jnp.int32)
+                # substitution fused into the recurrence (static slice)
+                sub = jnp.where(
+                    t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
+                    mismatch)
                 up_vals = jnp.concatenate(
                     [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
                 d_v = H + sub
@@ -135,10 +134,6 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                 bcol = jnp.maximum(bcol, H)
                 brow = jnp.where(upd, i, brow)
             words_ref[w, :, :] = acc
-            return H, bcol, brow
-
-        H, bcol, brow = jax.lax.fori_loop(
-            0, K // 16, word_loop, (H_scr[:], bcol_scr[:], brow_scr[:]))
         H_scr[:] = H
         bcol_scr[:] = bcol
         brow_scr[:] = brow
@@ -244,7 +239,6 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
             pltpu.VMEM((W, TB), jnp.int32),   # bcol
             pltpu.VMEM((W, TB), jnp.int32),   # brow
             pltpu.SMEM((1, 1), jnp.int32),    # alive
-            pltpu.VMEM((K, W, TB), jnp.int8),  # staged substitution rows
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
