@@ -61,13 +61,13 @@ def _truth_metrics(chains, truth_db):
     matches = 0
     cols = 0
     q_covered = {n: [] for n, _ in chains}
-    t_blocks = []
-    for a in alns:
+    t_blocks = {}   # per truth sequence — multi-chromosome truths must
+    for a in alns:  # not merge blocks across chromosomes
         m = sum(1 for x, y in zip(a.qstr, a.tstr) if x == y)
         matches += m
         cols += len(a.qstr)
         q_covered[a.query_name].append((a.qb, a.qe))
-        t_blocks.append((a.rb, a.re))
+        t_blocks.setdefault(a.ref_name, []).append((a.rb, a.re))
     identity = matches / cols if cols else 0.0
 
     def merged_span(ivals, gap=2000):
@@ -83,7 +83,7 @@ def _truth_metrics(chains, truth_db):
     aligned = sum(e - b for iv in q_covered.values()
                   for b, e in merged_span(iv))
     truth_len = sum(truth_db.lengths)
-    blocks = merged_span(t_blocks)
+    blocks = [iv for ivs in t_blocks.values() for iv in merged_span(ivs)]
     covered = sum(e - b for b, e in blocks)
     # NGA50: smallest aligned-block length such that blocks >= it cover
     # half the TRUTH genome (unaligned assembly bases never count)
