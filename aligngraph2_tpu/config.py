@@ -26,6 +26,15 @@ class AlignerConfig:
     """
 
     seed_k: int = 13                # seeding k-mer size (MECAT uses 13)
+    ref_seed_k: int = 12            # seeding k for the read->SIMILAR-GENOME
+                                    # stage only (the mecat2ref+ role):
+                                    # divergence is the product's point
+                                    # (README.md:5) and 13-mer survival
+                                    # (0.8*0.88)^13 ~ 1% caps 20%-diverged
+                                    # recall at ~0.43; k=12 lifts it to
+                                    # 0.67 (k=11: 0.80) with NO
+                                    # low-divergence regression — see
+                                    # PARITY.md mecat2ref+ table
     seed_stride: int = 1            # query k-mer sampling stride for seeding
     block_size: int = 200_000       # genome block size (bp) for the sharded
                                     # seed index (CLI -b, interpreted in kb:

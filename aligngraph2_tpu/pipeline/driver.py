@@ -201,7 +201,9 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     r2c_path = os.path.join(dirs["mecat_ctg"], "read_to_contig.ref")
     c_cache = StageCache(dirs["mecat_ctg"])
     aln_args = dict(alpha=cfg.aligner.alpha, beta=cfg.aligner.beta,
-                    delta=cfg.aligner.delta)
+                    delta=cfg.aligner.delta, seed_k=cfg.aligner.seed_k,
+                    ref_seed_k=cfg.aligner.ref_seed_k,
+                    prune=cfg.aligner.prune_ratio)
     if not (c_cache.check(read_path, ctg_path)
             and c_cache.check_args(**aln_args)
             and os.path.exists(r2c_path)):
@@ -235,11 +237,17 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     log("Read to Ref...")
     r2r_path = os.path.join(dirs["mecat_ref"], "read_to_ref.ref")
     r_cache = StageCache(dirs["mecat_ref"])
+    # the mecat2ref+ role: seed with ref_seed_k (smaller than the
+    # same-species stages) so diverged similar-genome regions stay
+    # seedable — the product's point (README.md:5); recall table in
+    # PARITY.md
+    from dataclasses import replace as _dc_replace
+    ref_aln_cfg = _dc_replace(cfg.aligner, seed_k=cfg.aligner.ref_seed_k)
     if not (r_cache.check(read_path, genome_path)
             and r_cache.check_args(**aln_args)
             and os.path.exists(r2r_path)):
         read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
-        r2r = LongReadAligner(refs, cfg.aligner, mesh=mesh,
+        r2r = LongReadAligner(refs, ref_aln_cfg, mesh=mesh,
                               progress=cfg.runtime.progress,
                               checkpoint_path=part_path(dirs["mecat_ref"])
                               ).align_reads(reads, ids=read_ids)
