@@ -32,7 +32,10 @@ def _free_port() -> int:
 
 
 def _run_workers(nprocs: int, data_dir: str, out_dir: str,
-                 timeout: float = 600.0) -> None:
+                 timeout: float = 1800.0) -> None:
+    # generous timeout: the two cooperating workers share this host's 2
+    # vCPUs with whatever else the suite is running; 600 s flaked under
+    # full-suite load while the test passes standalone in ~270 s
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # worker sets cpu itself before import
