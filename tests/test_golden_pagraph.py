@@ -6,7 +6,9 @@ varies run to run), so bit-exact travel parity is not well-defined even
 for the reference against itself.  Compared instead:
   * the set of consumed contigs (contig.txt),
   * whether an assembled chain was emitted,
-  * assembled length within 15% of the reference's.
+  * assembled length within 1% of the reference's (measured: exactly
+    equal across seeds 44-48; the tolerance only covers the reference's
+    own thread-raciness), over three seeds.
 """
 
 import os
@@ -34,8 +36,9 @@ pytestmark = pytest.mark.skipif(not os.path.exists(PAGRAPH),
                                 reason="reference pagraph not built")
 
 
-def test_pagraph_structural_parity(tmp_path):
-    ds = make_dataset(seed=44, genome_len=6000, coverage=14, mean_read=1000,
+@pytest.mark.parametrize("seed", [44, 45, 46])
+def test_pagraph_structural_parity(tmp_path, seed):
+    ds = make_dataset(seed=seed, genome_len=6000, coverage=14, mean_read=1000,
                       read_err=0.02, n_contigs=2, contig_gap=350)
     reads = SeqDatabase(ds["reads"])
     ctgs = SeqDatabase(ds["contigs"])
@@ -108,5 +111,5 @@ def test_pagraph_structural_parity(tmp_path):
         f"consumed sets differ: ref={ref_consumed} ours={our_consumed}")
     assert (ref_len > 0) == (our_len > 0)
     if ref_len > 0:
-        assert abs(our_len - ref_len) <= 0.15 * ref_len, (
+        assert abs(our_len - ref_len) <= 0.01 * ref_len, (
             f"lengths differ: ref={ref_len} ours={our_len}")
