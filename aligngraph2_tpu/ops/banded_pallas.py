@@ -53,7 +53,7 @@ T_SENTINEL = 255
 
 def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                bcol_scr, brow_scr, alive_scr, *, K, W, match,
-               mismatch, gap, ks_shifts, x_drop):
+               mismatch, gap, ks_shifts, x_drop, dt=jnp.int32):
     """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; qlen_ref (1, TB) i32;
     best_ref (8, TB) i32; words_ref (K/16, W, TB) i32; H_scr (W, TB) i32;
     bcol_scr/brow_scr (W, TB) i32; alive_scr (1, 1) i32 SMEM.
@@ -99,9 +99,16 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
         if x_drop > 0:
             alive_scr[0, 0] = 1
 
+    # narrow negative sentinel: deep enough that sentinel + the worst
+    # K-S chain penalty can never climb past 0, shallow enough not to
+    # wrap the narrow dtype (int16 mode: scores <= 2*8192 fit comfortably)
+    dt_np = np.dtype(dt)
+    neg = NEG if dt_np.itemsize == 4 else -(1 << 14)
+    cst = dt_np.type
+
     def compute():
-        t_slab = slab_ref[0].astype(jnp.int32)        # (K + W, TB)
-        q_all = q_ref[:].astype(jnp.int32)            # (K, TB)
+        t_slab = slab_ref[0].astype(dt)               # (K + W, TB)
+        q_all = q_ref[:].astype(dt)                   # (K, TB)
         H = H_scr[:]
         bcol = bcol_scr[:]
         brow = brow_scr[:]
@@ -112,36 +119,45 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                 i = chunk * K + (r + 1)               # global row index
                 # substitution fused into the recurrence (static slice)
                 sub = jnp.where(
-                    t_slab[r:r + W, :] == q_all[r:r + 1, :], match,
-                    mismatch)
+                    t_slab[r:r + W, :] == q_all[r:r + 1, :],
+                    cst(match), cst(mismatch))
                 up_vals = jnp.concatenate(
-                    [H[1:, :], jnp.full((1, TB), NEG, jnp.int32)], axis=0)
+                    [H[1:, :], jnp.full((1, TB), neg, dt)], axis=0)
                 d_v = H + sub
-                u_v = up_vals + gap
+                u_v = up_vals + cst(gap)
                 M = jnp.maximum(d_v, u_v)
-                m_dir = jnp.where(d_v >= u_v, DIAG, UP).astype(jnp.int32)
-                m_dir = jnp.where(M > 0, m_dir, STOP)
-                M = jnp.maximum(M, 0)
+                # direction codes stay in dt: masks from narrow compares
+                # must meet same-width operands (Mosaic can't relayout
+                # an i1 vector between 16- and 32-bit lane shapes);
+                # widen only at the int32 pack below
+                m_dir = jnp.where(d_v >= u_v, cst(DIAG), cst(UP))
+                m_dir = jnp.where(M > cst(0), m_dir, cst(STOP))
+                M = jnp.maximum(M, cst(0))
                 H = M
                 for sh in ks_shifts:
                     shifted = jnp.concatenate(
-                        [jnp.full((sh, TB), NEG, jnp.int32), H[:-sh, :]],
+                        [jnp.full((sh, TB), neg, dt), H[:-sh, :]],
                         axis=0)
-                    H = jnp.maximum(H, shifted + gap * sh)
-                code = jnp.where(H > M, LEFT, m_dir)
-                acc = acc | (code << (2 * s))
+                    H = jnp.maximum(H, shifted + cst(gap * sh))
+                code = jnp.where(H > M, cst(LEFT), m_dir)
+                acc = acc | (code.astype(jnp.int32) << (2 * s))
                 upd = H > bcol
                 bcol = jnp.maximum(bcol, H)
-                brow = jnp.where(upd, i, brow)
+                brow = jnp.where(
+                    upd, jax.lax.convert_element_type(i, dt), brow)
             words_ref[w, :, :] = acc
         H_scr[:] = H
         bcol_scr[:] = bcol
         brow_scr[:] = brow
         if x_drop > 0:
             # lane alive for the NEXT chunk: rows left before qlen, and
-            # (not started scoring yet) or (frontier within x_drop of best)
-            frontier = jnp.max(H, axis=0, keepdims=True)       # (1, TB)
-            best_sc = jnp.max(bcol, axis=0, keepdims=True)     # (1, TB)
+            # (not started scoring yet) or (frontier within x_drop of
+            # best).  Reductions widen to int32 — Mosaic has no int16
+            # reductions; this is once per chunk, not per row.
+            frontier = jnp.max(H.astype(jnp.int32), axis=0,
+                               keepdims=True)                  # (1, TB)
+            best_sc = jnp.max(bcol.astype(jnp.int32), axis=0,
+                              keepdims=True)                   # (1, TB)
             qlen = qlen_ref[:]                                 # (1, TB)
             next_i = (chunk + 1) * K + 1
             lane_alive = (next_i <= qlen) & (
@@ -159,8 +175,8 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
     @pl.when(chunk == pl.num_programs(1) - 1)
     def _finalize():
         # one cross-sublane reduction per lane tile for the whole query
-        bcol = bcol_scr[:]
-        brow = brow_scr[:]
+        bcol = bcol_scr[:].astype(jnp.int32)
+        brow = brow_scr[:].astype(jnp.int32)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
         S = jnp.max(bcol, axis=0, keepdims=True)               # (1, TB)
         mask = bcol == S
@@ -209,9 +225,19 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
                + np.arange(K + W)[None, :])
     slabs = tT[jnp.asarray(row_ids)]
     ks_shifts = tuple(1 << s for s in range(int(np.log2(W))))
+    # int16 DP state (scores <= match * NQ fit comfortably for NQ <=
+    # 8192) would halve the vreg count of every H/bcol/brow op — the
+    # kernel is vector-issue-bound (BASELINE.md roofline) — and the
+    # kernel body is parametrized for it, but Mosaic on this v5e target
+    # rejects i16 vector comparisons ("Target does not support this
+    # comparison"), so the lever stays documented-but-disabled until the
+    # toolchain supports it:
+    #   dt = jnp.int16 if max(match, 1) * NQ <= 16384 \
+    #       and x_drop < (1 << 14) else jnp.int32
+    dt = jnp.int32
     kernel = functools.partial(_dp_kernel, K=K, W=W, match=match,
                                mismatch=mismatch, gap=gap,
-                               ks_shifts=ks_shifts, x_drop=x_drop)
+                               ks_shifts=ks_shifts, x_drop=x_drop, dt=dt)
     grid = (B // TB, n_chunks)
     best, words = pl.pallas_call(
         kernel,
@@ -235,9 +261,9 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
             jax.ShapeDtypeStruct((NQ // 16, W, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, TB), jnp.int32),   # H
-            pltpu.VMEM((W, TB), jnp.int32),   # bcol
-            pltpu.VMEM((W, TB), jnp.int32),   # brow
+            pltpu.VMEM((W, TB), dt),          # H
+            pltpu.VMEM((W, TB), dt),          # bcol
+            pltpu.VMEM((W, TB), dt),          # brow
             pltpu.SMEM((1, 1), jnp.int32),    # alive
         ],
         compiler_params=pltpu.CompilerParams(
