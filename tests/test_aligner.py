@@ -211,3 +211,40 @@ def test_sharded_failure_degrades_to_single_device(dataset, monkeypatch,
     key = lambda a: (a.query_name, a.ref_name, a.forward, a.rb, a.re,
                      a.score)
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_clamped_score_prune_semantics():
+    """The recovered alpha/beta clamp acts through the pre-extension
+    prune on CLAMPED scores (ops/seedextend._finalize_read_candidates):
+      * alpha floor lifts a weakly-seeded candidate over the prune bar;
+      * beta cap bounds the bar a dominant repeat sets.
+    Deterministic fixture mirroring the BENCH_MECATPLUS pressure sweep."""
+    from aligngraph2_tpu.ops.seedextend import (Candidate,
+                                                _finalize_read_candidates)
+
+    def mk(hits, tid):
+        return Candidate(tid=tid, forward=True, diag=tid * 10_000,
+                         hits=hits, score=0.0)
+
+    def kept_tids(cands, alpha, beta, prune):
+        out = _finalize_read_candidates(
+            [mk(h, t) for t, h in enumerate(cands)], bin_w=64,
+            max_candidates=16, alpha=alpha, beta=beta, prune=prune)
+        return {c.tid for c in out}
+
+    # 12 strong repeat copies (1000 hits) + 1 weak true locus (150)
+    crowd = [1000] * 12 + [150]
+    weak = 12
+    # no floor: 150 < 0.25 * best_clamped -> pruned
+    assert weak not in kept_tids(crowd, alpha=0.0, beta=2.0, prune=0.25)
+    # alpha floor lifts it over the bar
+    assert weak in kept_tids(crowd, alpha=0.5, beta=2.0, prune=0.25)
+    # a dominant repeat (3000) raises the bar when beta is off...
+    crowd2 = [3000] + [1000] * 11 + [150]
+    assert 12 not in kept_tids(crowd2, alpha=0.3, beta=1e9, prune=0.25)
+    # ...and the beta cap restores the weak candidate (alpha floor
+    # 0.3*mean comfortably clears 0.25*capped-best — off the exact
+    # float boundary on purpose)
+    assert 12 in kept_tids(crowd2, alpha=0.3, beta=1.0, prune=0.25)
+    # prune=0 keeps everything (capped only by max_candidates)
+    assert weak in kept_tids(crowd, alpha=0.0, beta=2.0, prune=0.0)
