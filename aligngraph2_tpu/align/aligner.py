@@ -53,6 +53,18 @@ class LongReadAligner:
                  mesh=None, checkpoint_path: str | None = None,
                  checkpoint_flush_s: float = 300.0):
         self.db = target_db
+        # auto-scale seed k with target size (flat noise-hit rate; see
+        # ops/seedextend.effective_seed_k) — both the host and sharded
+        # seeding paths read the updated cfg, so mesh and single-device
+        # runs stay bit-identical
+        from ..ops.seedextend import effective_seed_k
+        k_eff = effective_seed_k(cfg, target_db)
+        if k_eff != cfg.seed_k:
+            import dataclasses
+            logger.info("seed_k auto-scaled %d -> %d for a %.1f Mb "
+                        "target", cfg.seed_k, k_eff,
+                        target_db.lengths.sum() / 1e6)
+            cfg = dataclasses.replace(cfg, seed_k=k_eff)
         self.cfg = cfg
         self.mesh = mesh
         self.checkpoint_path = checkpoint_path
@@ -202,11 +214,20 @@ class LongReadAligner:
             analogue of the reference's aligner-fallback chain
             (AlignGraph2.py:288-296)."""
             handles, prep, end_i = pending
+            # snapshot so a failure AFTER partial emission (the host
+            # emission loop can throw too, not only the device fetch)
+            # can roll back before re-extending — otherwise re-emitted
+            # alignments could slip past the 8-entry duplicate window
+            n_before = len(out)
+            best_before = dict(best_per_read)
             try:
                 self._finish_pallas(read_db, handles, prep, out,
                                     best_per_read)
             except Exception:
                 self._degrade_pallas("finish")
+                del out.alignments[n_before:]
+                best_per_read.clear()
+                best_per_read.update(best_before)
                 pb, NQb = prep[0], prep[1]
                 self._extend_batch(read_db, pb, NQb, NQb + 2 * W, out,
                                    best_per_read)

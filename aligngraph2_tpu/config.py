@@ -36,6 +36,22 @@ class AlignerConfig:
                                     # low-divergence regression — see
                                     # PARITY.md mecat2ref+ table
     seed_stride: int = 1            # query k-mer sampling stride for seeding
+    seed_k_auto: bool = True        # grow seed_k with TARGET size so the
+                                    # random-hit rate G/4^k stays flat —
+                                    # per-read seeding cost was linear in
+                                    # genome size at fixed k (the 50 Mb
+                                    # superlinear aligner wall).  Applies
+                                    # to same-species stages only; the
+                                    # driver pins the similar-genome
+                                    # stage to ref_seed_k (divergence
+                                    # needs small seeds)
+    seed_k_max: int = 15            # auto-scaling cap (prefix-table
+                                    # index supports up to 16)
+    seed_noise_rate: float = 0.125  # target random hits per query k-mer:
+                                    # bump k while G/4^k exceeds this
+                                    # (0.125 = the 5 Mb bench's regime at
+                                    # k=13, so bench-scale runs are
+                                    # unchanged)
     block_size: int = 200_000       # genome block size (bp) for the sharded
                                     # seed index (CLI -b, interpreted in kb:
                                     # the reference validates -b in [50-1000]
@@ -176,6 +192,12 @@ class PipelineConfig:
             raise ValueError("threshold for alignment scoring must be [0-1]")
         if a.candidate_prune != -1.0 and not 0.0 <= a.candidate_prune <= 1.0:
             raise ValueError("candidate_prune must be [0-1] or -1 (auto)")
+        if not 8 <= a.seed_k <= 16:
+            raise ValueError("Aligner seed_k must be [8-16]")
+        if not 8 <= a.ref_seed_k <= 16:
+            raise ValueError("Aligner ref_seed_k must be [8-16]")
+        if not a.seed_k_max <= 16:
+            raise ValueError("seed_k_max must be <= 16")
         if not 1 <= g.cov_filter:
             raise ValueError("coverage to filter alignments must be >= 1")
         if not 5 <= g.epsilon <= 100:

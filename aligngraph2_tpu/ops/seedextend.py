@@ -35,6 +35,28 @@ from ..io.seqdb import SeqDatabase
 from .kmer import kmer_codes_np
 
 
+def effective_seed_k(cfg, target_db) -> int:
+    """Auto-scaled seeding k for a target database.
+
+    Per-read seeding cost at fixed k is linear in total target size
+    (random hits/k-mer = G/4^k), which made the same-species aligner
+    stages superlinear in dataset size.  Growing k with G keeps the
+    noise-hit rate at or below ``seed_noise_rate``: 5 Mb stays at the
+    configured seed_k, ~50 Mb moves to 15.  Recall is unaffected in the
+    same-species regime (reads have thousands of surviving true seeds
+    per candidate window at 15% error even at k=15); the diverged
+    similar-genome stage is pinned by the driver via seed_k_auto=False.
+    """
+    if not getattr(cfg, "seed_k_auto", False):
+        return cfg.seed_k
+    total = int(target_db.lengths.sum()) if len(target_db) else 0
+    k = cfg.seed_k
+    k_max = max(cfg.seed_k, cfg.seed_k_max)
+    while k < k_max and total > cfg.seed_noise_rate * (4 ** k):
+        k += 1
+    return k
+
+
 class SeedIndex:
     """Sorted-array k-mer index over the forward strands of a SeqDatabase."""
 
@@ -58,9 +80,16 @@ class SeedIndex:
                  else np.zeros(0, np.int64))
         pos = (np.concatenate(pos_list) if pos_list
                else np.zeros(0, np.int64))
-        order = np.argsort(codes, kind="stable")
-        self.sorted_codes = codes[order]
-        self.sorted_pos = pos[order]
+        from .native import sort_codes_native
+        if k <= 16 and sort_codes_native(codes, pos):
+            # native stable radix co-sort (in place): ~25x the numpy
+            # argsort at genome scale, identical ordering
+            self.sorted_codes = codes
+            self.sorted_pos = pos
+        else:
+            order = np.argsort(codes, kind="stable")
+            self.sorted_codes = codes[order]
+            self.sorted_pos = pos[order]
         # dense tables: O(1) lookup per query k-mer instead of a
         # cache-hostile binary search over the whole index (the
         # reference's kmer tables are dense too, kmer_counter.cpp:21-40).
@@ -69,6 +98,21 @@ class SeedIndex:
         # (int32) is only gathered for the k-mers that actually hit.
         self.dense_off = None
         self.dense_cnt = None
+        # k = 14..16: a 2*prefix_len-bit prefix offset table over the
+        # sorted codes gives the native binner O(1) range lookup per
+        # query k-mer (within-prefix refinement is ~1 entry at practical
+        # genome sizes).  Larger k keeps the noise-hit rate G/4^k flat
+        # as targets grow — see effective_seed_k.
+        self.prefix_off = None
+        self.prefix_len = 0
+        if 13 < k <= 16 and len(self.sorted_codes):
+            self.prefix_len = 13
+            shift = 2 * (k - self.prefix_len)
+            size = 1 << (2 * self.prefix_len)
+            pre = (self.sorted_codes >> shift).astype(np.int64)
+            off = np.zeros(size + 1, np.int64)
+            np.cumsum(np.bincount(pre, minlength=size), out=off[1:])
+            self.prefix_off = off.astype(np.int32)
         if k <= 13 and len(self.sorted_codes):
             size = 1 << (2 * k)
             off = np.zeros(size + 1, np.int32)
@@ -213,15 +257,38 @@ def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
             tags.append((rid, 1, n - k + 1))
             tags.append((rid, 0, n - k + 1))
 
+        # production path: per-read native binning (enumeration + bin
+        # sort + smoothing + median all in C++, per-read buffers — cost
+        # independent of chunk size, no chunk-wide hit sort).  The numpy
+        # code below is the specification (tests/test_native_seed.py).
+        from .native import seed_bin_native
+        base_list = [read_db.get_codes(rid) for rid in chunk]
+        read_start = np.zeros(len(chunk) + 1, np.int64)
+        np.cumsum([len(b) for b in base_list], out=read_start[1:])
+        native_bin = seed_bin_native(
+            index, np.concatenate(base_list), read_start, bin_w,
+            max(min_hits, 1))
+        if native_bin is not None:
+            nc, b_tid, b_fwd, b_diag, b_hits = native_bin
+            off = 0
+            for ci, rid in enumerate(chunk):
+                m = int(nc[ci])
+                cands = [Candidate(tid=int(b_tid[j]),
+                                   forward=bool(b_fwd[j]),
+                                   diag=int(b_diag[j]),
+                                   hits=int(b_hits[j]), score=0.0)
+                         for j in range(off, off + m)]
+                off += m
+                out[rid] = _finalize_read_candidates(
+                    cands, bin_w, max_candidates, alpha, beta, prune)
+            continue
+
         # hit enumeration: native single-pass path when available
         # (rolling codes + dense-table lookup + expansion in C++), else
         # the numpy specification below — identical hit streams.
         native_hits = None
         if index.dense_cnt is not None:
             from .native import seed_hits_native
-            base_list = [read_db.get_codes(rid) for rid in chunk]
-            read_start = np.zeros(len(chunk) + 1, np.int64)
-            np.cumsum([len(b) for b in base_list], out=read_start[1:])
             native_hits = seed_hits_native(
                 index, np.concatenate(base_list), read_start)
         if native_hits is not None:

@@ -242,7 +242,8 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     # seedable — the product's point (README.md:5); recall table in
     # PARITY.md
     from dataclasses import replace as _dc_replace
-    ref_aln_cfg = _dc_replace(cfg.aligner, seed_k=cfg.aligner.ref_seed_k)
+    ref_aln_cfg = _dc_replace(cfg.aligner, seed_k=cfg.aligner.ref_seed_k,
+                              seed_k_auto=False)
     if not (r_cache.check(read_path, genome_path)
             and r_cache.check_args(**aln_args)
             and os.path.exists(r2r_path)):

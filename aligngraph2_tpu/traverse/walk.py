@@ -599,13 +599,18 @@ def seq_to_string(st: TravelState, seq: Travel, ctg_start_pos: int = 0
         sel_fwd = e_idx > 0
         move = pos_dist / kmer_dist if kmer_dist else 0.0
         base = int(starts[i1])
+        # accumulate ref_now += move exactly like seq_to_string_spec:
+        # direct j*move multiplication can differ by ulps and flip
+        # round() on .5 boundaries, breaking character identity
+        ref_now = float(s_pos + k)
         for j in range(int(n_int[i1])):
-            rp = int(round(float(s_pos + k) + j * move))
+            rp = int(round(ref_now))
             if 0 <= sel_idx < len(db) and 0 <= rp < db.size(sel_idx):
                 out[base + j] = ord("acgt"[db.base_at(sel_idx, rp,
                                                       sel_fwd)])
             else:
                 out[base + j] = ord("n")
+            ref_now += move
     s = out.tobytes().decode("ascii")
     first_pos = st.ctg_mapper.single_to_dual(int(g.pos_ctg[seq[0][1]]))[1]
     cut = ctg_start_pos - first_pos if ctg_start_pos >= first_pos else 0

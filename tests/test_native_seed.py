@@ -37,8 +37,65 @@ def test_native_seeding_matches_numpy(seed, monkeypatch):
     import aligngraph2_tpu.ops.seedextend as se
     monkeypatch.setattr("aligngraph2_tpu.ops.native.seed_hits_native",
                         lambda *a, **k: None)
+    monkeypatch.setattr("aligngraph2_tpu.ops.native.seed_bin_native",
+                        lambda *a, **k: None)
     numpy_path = find_candidates_batch(idx, reads, ids, **kw)
     assert _cand_map_fingerprint(native) == _cand_map_fingerprint(numpy_path)
+
+
+@pytest.mark.parametrize("k,min_hits,bin_w", [(11, 3, 64), (14, 2, 64),
+                                              (15, 2, 128), (16, 2, 96)])
+def test_native_bin_matches_numpy(k, min_hits, bin_w, monkeypatch):
+    """Per-read native binning (ags_bin) == numpy spec, including the
+    k>13 prefix-table index path and negative diagonals."""
+    ds = make_dataset(seed=7, genome_len=12000, coverage=12,
+                      mean_read=1100, read_err=0.05, n_contigs=3)
+    reads = SeqDatabase(ds["reads"])
+    targets = SeqDatabase(ds["contigs"])
+    idx = SeedIndex(targets, k)
+    if k > 13:
+        assert idx.prefix_off is not None and idx.dense_cnt is None
+    kw = dict(bin_w=bin_w, max_candidates=8, min_hits=min_hits,
+              alpha=0.5, beta=2.0, prune=0.81)
+    ids = list(range(len(reads)))
+    native = find_candidates_batch(idx, reads, ids, **kw)
+    n_cands = sum(len(v) for v in native.values())
+    assert n_cands > 0
+    monkeypatch.setattr("aligngraph2_tpu.ops.native.seed_bin_native",
+                        lambda *a, **kk: None)
+    numpy_path = find_candidates_batch(idx, reads, ids, **kw)
+    assert _cand_map_fingerprint(native) == _cand_map_fingerprint(numpy_path)
+
+
+def test_native_index_sort_matches_argsort():
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 1 << 30, size=50_000).astype(np.int64)
+    pos = np.arange(50_000, dtype=np.int64)
+    order = np.argsort(codes, kind="stable")
+    want_c, want_p = codes[order], pos[order]
+    from aligngraph2_tpu.ops.native import sort_codes_native
+    c2, p2 = codes.copy(), pos.copy()
+    assert sort_codes_native(c2, p2)
+    np.testing.assert_array_equal(c2, want_c)
+    np.testing.assert_array_equal(p2, want_p)
+
+
+def test_effective_seed_k_scaling():
+    from aligngraph2_tpu.ops.seedextend import effective_seed_k
+
+    class _DB:
+        def __init__(self, total):
+            self.lengths = np.array([total], np.int64)
+
+        def __len__(self):
+            return 1
+
+    cfg = AlignerConfig()          # seed_k=13, auto on, max 15
+    assert effective_seed_k(cfg, _DB(5_000_000)) == 13   # bench scale
+    assert effective_seed_k(cfg, _DB(50_000_000)) == 15
+    assert effective_seed_k(cfg, _DB(120_000_000)) == 15  # capped
+    cfg_off = AlignerConfig(seed_k_auto=False)
+    assert effective_seed_k(cfg_off, _DB(120_000_000)) == 13
 
 
 def test_native_hits_raw():
