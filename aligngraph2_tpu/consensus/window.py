@@ -112,14 +112,15 @@ def consensus_backbone(backbone: str, alns: AlignmentSet,
       * anything else / fallback — the pure-Python spec below
     All three are bit-identical (tests/test_consensus_device.py,
     tests/test_native_poa.py)."""
-    # Default: the host C++ core.  The device path is bit-identical and
-    # its on-chip compute is fast (33M-column aggregation ~0.5s), but in
-    # THIS environment the chip sits behind a ~40 MB/s relay, so the
+    # Default "auto": one-shot link probe (utils/devprobe.py).  The
+    # device path is bit-identical and its on-chip compute is fast
+    # (33M-column aggregation ~0.5s), but behind a ~40 MB/s relay the
     # column-stream transfers bound it at ~10s/backbone vs ~1s for the
-    # host core (measured, BASELINE.md §consensus).  On a directly
-    # attached TPU host the economics flip; opt in with
-    # ALIGNGRAPH2_TPU_CONSENSUS=device.
-    backend = os.environ.get("ALIGNGRAPH2_TPU_CONSENSUS", "native")
+    # host core (measured, BASELINE.md §consensus); on a directly
+    # attached TPU host the economics flip, so the probe decides.
+    # Explicit ALIGNGRAPH2_TPU_CONSENSUS=device|native still wins.
+    from ..utils.devprobe import resolve_backend
+    backend = resolve_backend("ALIGNGRAPH2_TPU_CONSENSUS")
     if use_native and os.environ.get("ALIGNGRAPH2_TPU_NO_NATIVE") != "1":
         if backend == "device":
             from .device import consensus_backbone_device

@@ -313,11 +313,13 @@ class PAGraph:
 
     @staticmethod
     def _merge_backend() -> str:
-        """Production merge dispatch: 'native' (C++ core, default),
-        'device' (XLA sort/segment kernels, graph/merge_device.py), or
-        'numpy' (the in-file specification)."""
-        import os
-        return os.environ.get("ALIGNGRAPH2_TPU_MERGE", "native")
+        """Production merge dispatch: 'native' (C++ core), 'device'
+        (XLA sort/segment kernels, graph/merge_device.py), or 'numpy'
+        (the in-file specification).  Default 'auto': one-shot link
+        probe picks device on directly-attached hosts, native behind
+        slow relays (utils/devprobe.py)."""
+        from ..utils.devprobe import resolve_backend
+        return resolve_backend("ALIGNGRAPH2_TPU_MERGE")
 
     def merge_edges(self) -> int:
         """Exact (from, to, step) dedup; returns removed count

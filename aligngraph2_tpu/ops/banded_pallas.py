@@ -53,7 +53,8 @@ T_SENTINEL = 255
 
 def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
                bcol_scr, brow_scr, alive_scr, *, K, W, match,
-               mismatch, gap, ks_shifts, x_drop, dt=jnp.int32):
+               mismatch, gap, ks_shifts, x_drop, dt=jnp.int32,
+               probe_no_ks=False):
     """q_ref (K, TB) u8; slab_ref (1, K+W, TB) u8; qlen_ref (1, TB) i32;
     best_ref (8, TB) i32; words_ref (K/16, W, TB) i32; H_scr (W, TB) i32;
     bcol_scr/brow_scr (W, TB) i32; alive_scr (1, 1) i32 SMEM.
@@ -100,11 +101,26 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
             alive_scr[0, 0] = 1
 
     # narrow negative sentinel: deep enough that sentinel + the worst
-    # K-S chain penalty can never climb past 0, shallow enough not to
-    # wrap the narrow dtype (int16 mode: scores <= 2*8192 fit comfortably)
+    # K-S chain penalty can never climb past 0, shallow enough that the
+    # int16 mode's compare DIFFERENCES can't wrap: with neg = -2^13,
+    # scores <= match*NQ <= 2^14 and |gap|*W <= 1536, every a-b formed
+    # below stays within +-2^15 - 1
     dt_np = np.dtype(dt)
-    neg = NEG if dt_np.itemsize == 4 else -(1 << 14)
+    is16 = dt_np.itemsize == 2
+    neg = NEG if not is16 else -(1 << 13)
     cst = dt_np.type
+
+    # int16 mode: Mosaic on v5e rejects i16 vector COMPARISONS, but
+    # sub/add/bitwise/arithmetic-shift vectorize at 2x lane density —
+    # so every compare+select becomes subtract + sign-broadcast
+    # (x >> 15 -> all-ones iff negative) + bitwise select, which is
+    # exactly equal to jnp.where given the no-overflow bounds above.
+    def _sign(x):
+        return jax.lax.shift_right_arithmetic(x, cst(15))
+
+    def _sel(mask, a, b):
+        """mask all-ones -> a, zeros -> b (bitwise select)."""
+        return b ^ ((b ^ a) & mask)
 
     def compute():
         t_slab = slab_ref[0].astype(dt)               # (K + W, TB)
@@ -117,34 +133,60 @@ def _dp_kernel(q_ref, slab_ref, qlen_ref, best_ref, words_ref, H_scr,
             for s in range(16):
                 r = w * 16 + s
                 i = chunk * K + (r + 1)               # global row index
-                # substitution fused into the recurrence (static slice)
-                sub = jnp.where(
-                    t_slab[r:r + W, :] == q_all[r:r + 1, :],
-                    cst(match), cst(mismatch))
                 up_vals = jnp.concatenate(
                     [H[1:, :], jnp.full((1, TB), neg, dt)], axis=0)
-                d_v = H + sub
                 u_v = up_vals + cst(gap)
-                M = jnp.maximum(d_v, u_v)
-                # direction codes stay in dt: masks from narrow compares
-                # must meet same-width operands (Mosaic can't relayout
-                # an i1 vector between 16- and 32-bit lane shapes);
-                # widen only at the int32 pack below
-                m_dir = jnp.where(d_v >= u_v, cst(DIAG), cst(UP))
-                m_dir = jnp.where(M > cst(0), m_dir, cst(STOP))
-                M = jnp.maximum(M, cst(0))
-                H = M
-                for sh in ks_shifts:
-                    shifted = jnp.concatenate(
-                        [jnp.full((sh, TB), neg, dt), H[:-sh, :]],
-                        axis=0)
-                    H = jnp.maximum(H, shifted + cst(gap * sh))
-                code = jnp.where(H > M, cst(LEFT), m_dir)
+                if is16:
+                    # compare-free int16 row: d==0 test via sign(d | -d),
+                    # max/select via sign-broadcast bitwise select
+                    d = t_slab[r:r + W, :] - q_all[r:r + 1, :]
+                    ne_mask = _sign(d | (cst(0) - d))
+                    sub = _sel(ne_mask, cst(mismatch), cst(match))
+                    d_v = H + sub
+                    ge_mask = ~_sign(d_v - u_v)       # -1 iff d_v >= u_v
+                    M = _sel(ge_mask, d_v, u_v)
+                    m_dir = _sel(ge_mask, cst(DIAG), cst(UP))
+                    pos_mask = _sign(cst(0) - M)      # -1 iff M > 0
+                    m_dir = m_dir & pos_mask          # STOP (=0) if M <= 0
+                    M = M & pos_mask                  # max(M, 0)
+                    H = M
+                    if not probe_no_ks:
+                        for sh in ks_shifts:
+                            shifted = jnp.concatenate(
+                                [jnp.full((sh, TB), neg, dt),
+                                 H[:-sh, :]], axis=0) + cst(gap * sh)
+                            H = _sel(~_sign(H - shifted), H, shifted)
+                    code = _sel(_sign(M - H), cst(LEFT), m_dir)
+                    upd_mask = _sign(bcol - H)        # -1 iff H > bcol
+                    bcol = _sel(upd_mask, H, bcol)
+                    brow = _sel(upd_mask,
+                                jax.lax.convert_element_type(i, dt), brow)
+                else:
+                    # substitution fused into the recurrence (static
+                    # slice); masks from narrow compares must meet
+                    # same-width operands (Mosaic can't relayout an i1
+                    # vector between 16- and 32-bit lane shapes)
+                    sub = jnp.where(
+                        t_slab[r:r + W, :] == q_all[r:r + 1, :],
+                        cst(match), cst(mismatch))
+                    d_v = H + sub
+                    M = jnp.maximum(d_v, u_v)
+                    m_dir = jnp.where(d_v >= u_v, cst(DIAG), cst(UP))
+                    m_dir = jnp.where(M > cst(0), m_dir, cst(STOP))
+                    M = jnp.maximum(M, cst(0))
+                    H = M
+                    if not probe_no_ks:
+                        for sh in ks_shifts:
+                            shifted = jnp.concatenate(
+                                [jnp.full((sh, TB), neg, dt), H[:-sh, :]],
+                                axis=0)
+                            H = jnp.maximum(H, shifted + cst(gap * sh))
+                    code = jnp.where(H > M, cst(LEFT), m_dir)
+                    upd = H > bcol
+                    bcol = jnp.maximum(bcol, H)
+                    brow = jnp.where(
+                        upd, jax.lax.convert_element_type(i, dt), brow)
                 acc = acc | (code.astype(jnp.int32) << (2 * s))
-                upd = H > bcol
-                bcol = jnp.maximum(bcol, H)
-                brow = jnp.where(
-                    upd, jax.lax.convert_element_type(i, dt), brow)
             words_ref[w, :, :] = acc
         H_scr[:] = H
         bcol_scr[:] = bcol
@@ -203,10 +245,12 @@ class PallasBandedResult(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "K", "TB", "match", "mismatch",
-                                    "gap", "x_drop", "interpret"))
+                                    "gap", "x_drop", "interpret", "dt16",
+                                    "probe_no_ks"))
 def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
                         mismatch=-4, gap=-3, x_drop=0,
-                        interpret=False) -> PallasBandedResult:
+                        interpret=False, dt16=False,
+                        probe_no_ks=False) -> PallasBandedResult:
     """q: (B, NQ) uint8 padded with Q_SENTINEL beyond each query's length;
     t: (B, NQ + W) uint8 windows in the standard frame (seed diagonal at
     W/2), padded with T_SENTINEL; qlen: (B,) query lengths (required when
@@ -225,19 +269,22 @@ def banded_align_pallas(q, t, qlen=None, *, W=512, K=64, TB=128, match=2,
                + np.arange(K + W)[None, :])
     slabs = tT[jnp.asarray(row_ids)]
     ks_shifts = tuple(1 << s for s in range(int(np.log2(W))))
-    # int16 DP state (scores <= match * NQ fit comfortably for NQ <=
-    # 8192) would halve the vreg count of every H/bcol/brow op — the
-    # kernel is vector-issue-bound (BASELINE.md roofline) — and the
-    # kernel body is parametrized for it, but Mosaic on this v5e target
-    # rejects i16 vector comparisons ("Target does not support this
-    # comparison"), so the lever stays documented-but-disabled until the
-    # toolchain supports it:
-    #   dt = jnp.int16 if max(match, 1) * NQ <= 16384 \
-    #       and x_drop < (1 << 14) else jnp.int32
-    dt = jnp.int32
+    # int16 DP state halves the vreg count of every H/bcol/brow op —
+    # the kernel is vector-issue-bound (BASELINE.md roofline).  Mosaic
+    # on v5e rejects i16 vector COMPARISONS, so the i16 row replaces
+    # every compare with subtract + sign-broadcast + bitwise select
+    # (exactly equal under the no-overflow bounds in _dp_kernel).
+    # Opt-in via dt16 until it has a recorded hardware win; requires
+    # match * NQ <= 2^14 so score differences stay in i16.
+    if dt16:
+        assert max(match, 1) * NQ <= (1 << 14), (match, NQ)
+        dt = jnp.int16
+    else:
+        dt = jnp.int32
     kernel = functools.partial(_dp_kernel, K=K, W=W, match=match,
                                mismatch=mismatch, gap=gap,
-                               ks_shifts=ks_shifts, x_drop=x_drop, dt=dt)
+                               ks_shifts=ks_shifts, x_drop=x_drop, dt=dt,
+                               probe_no_ks=probe_no_ks)
     grid = (B // TB, n_chunks)
     best, words = pl.pallas_call(
         kernel,

@@ -28,21 +28,35 @@ import numpy as np
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> int:
+                     process_id: Optional[int] = None,
+                     initialization_timeout: Optional[int] = None,
+                     heartbeat_timeout_seconds: Optional[int] = None
+                     ) -> int:
     """Initialize jax.distributed (idempotent; no-op if single-host).
 
     With no arguments JAX auto-detects cluster environments (GKE/GCE TPU
-    pods, SLURM, Open MPI).  Returns the process id."""
+    pods, SLURM, Open MPI).  Returns the process id.
+
+    The two timeout knobs guard against peer eviction under host
+    oversubscription: JAX's defaults (300 s init, 100 s heartbeat) evict
+    a worker that gets CPU-starved past the window, which then surfaces
+    as a coordination-barrier failure mid-pipeline (the
+    test_distributed_2proc flake under full-suite load)."""
     import jax
     if num_processes is not None and num_processes <= 1:
         return 0
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = initialization_timeout
+    if heartbeat_timeout_seconds is not None:
+        kw["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     try:
         if coordinator_address is not None or num_processes is not None:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
-                num_processes=num_processes, process_id=process_id)
+                num_processes=num_processes, process_id=process_id, **kw)
         else:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kw)
     except (RuntimeError, ValueError):
         # already initialized, or no cluster environment detected
         pass

@@ -18,13 +18,18 @@ import jax
 
 
 def make_mesh(n_devices: int | None = None, block_parallel: int | None = None,
-              data_axis: str = "data", block_axis: str = "block"):
+              data_axis: str = "data", block_axis: str = "block",
+              devices=None):
     """Build a (data, block) mesh over the available devices.
 
     ``block_parallel`` defaults to 2 when at least 4 devices are present,
-    else 1 (all devices data-parallel).
+    else 1 (all devices data-parallel).  ``devices`` overrides the
+    device list — multi-host pipelines pass ``jax.local_devices()`` so
+    hosts shard the files while each host's devices shard the
+    seeds/extension (SURVEY.md §2.6); device_put of host-local numpy
+    batches requires every mesh device to be addressable.
     """
-    devs = jax.devices()
+    devs = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)

@@ -96,9 +96,14 @@ def _make_mesh(cfg: PipelineConfig):
     if not sharded:
         return None
     from ..parallel.mesh import make_mesh
+    # multi-host: hosts shard the files (host_shard_ids), each host's
+    # LOCAL devices shard seeds/extension — the mesh must contain only
+    # addressable devices for the per-host device_put batches
+    devs = jax.local_devices() if jax.process_count() > 1 else None
     return make_mesh(block_parallel=cfg.runtime.block_parallel,
                      data_axis=cfg.runtime.data_axis,
-                     block_axis=cfg.runtime.block_axis)
+                     block_axis=cfg.runtime.block_axis,
+                     devices=devs)
 
 
 def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,

@@ -13,6 +13,18 @@ aligner binaries are absent submodules, so the operational baseline is
 the same kernel lowered by XLA to this host's CPU, scaled by 8x to
 approximate the reference's 16-thread operating point (this host has 2
 vCPUs).  That makes vs_baseline = TPU cells/s / (8 * XLA-CPU cells/s).
+
+Modes (the driver runs the default production path):
+    --kernel-only        DP kernel alone, no traceback/expansion; syncs
+                         on the score fetch.  Reports the per-rep
+                         distribution ("reps") so the relay-chip
+                         variance is on the record.
+    --probe-ks           kernel-only with the Kogge-Stone left-gap scan
+                         STRIPPED (semantics-breaking probe: if the
+                         9-step serial chain binds, this jumps ~3x).
+    --int16              kernel-only with the i16 compare-free row
+                         (2x lane density; exactly equal outputs).
+    --reps N             repetitions (default 10 for kernel modes).
 """
 
 import json
@@ -104,6 +116,40 @@ def measure_pallas(B, NQ, W, iters=5):
     return B * NQ * W / dt
 
 
+def measure_kernel_only(B, NQ, W, reps=10, dt16=False, probe_no_ks=False):
+    """DP kernel rate with NO traceback and no direction-stream fetch:
+    per-rep cells/s list (the relay-shared chip swings run to run, so
+    the distribution is the artifact, VERDICT r4 weak #2).  Syncs on the
+    (8, B) best-cell fetch — the words stream stays on device."""
+    import jax
+    from aligngraph2_tpu.ops.banded_pallas import (banded_align_pallas,
+                                                   T_SENTINEL)
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (B, NQ)).astype(np.uint8)
+    noise = rng.random((B, NQ)) < 0.1
+    planted = np.where(noise, rng.integers(0, 4, (B, NQ)).astype(np.uint8),
+                       q)
+    t = np.full((B, NQ + W), T_SENTINEL, np.uint8)
+    t[:, W // 2:W // 2 + NQ] = planted
+    qd = jax.device_put(q)
+    td = jax.device_put(t)
+
+    def run():
+        r = banded_align_pallas(qd, td, W=W, K=64, dt16=dt16,
+                                probe_no_ks=probe_no_ks)
+        np.asarray(r.score)   # real device sync (axon's
+        return r              # block_until_ready returns early)
+
+    run()   # compile + warm
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        rates.append(B * NQ * W / (time.perf_counter() - t0))
+    return rates
+
+
 def _cpu_baseline(B=4, NQ=2048, W=256, iters=3):
     """Numpy banded DP (vectorized per row over the band) — a fair proxy
     for a well-written CPU implementation on this host, with no XLA
@@ -142,7 +188,7 @@ def _cpu_baseline(B=4, NQ=2048, W=256, iters=3):
     return B * NQ * W / dt
 
 
-def verify_pallas_on_hardware(B=128, NQ=1024, W=256, seed=7):
+def verify_pallas_on_hardware(B=128, NQ=1024, W=256, seed=7, dt16=False):
     """Hardware correctness gate: the COMPILED Pallas kernel (+ fast
     traceback) must equal the lax.scan path on random planted lanes.
     All pre-existing Pallas tests run interpret=True on CPU; this is the
@@ -169,7 +215,7 @@ def verify_pallas_on_hardware(B=128, NQ=1024, W=256, seed=7):
     for x_drop in (0, 250):
         res = banded_align_pallas(jax.device_put(q), jax.device_put(t),
                                   jax.device_put(qlen), W=W,
-                                  x_drop=x_drop)
+                                  x_drop=x_drop, dt16=dt16)
         moves, nmoves, si, sj = traceback_fast(
             res.words, res.best_i, res.best_j, max_steps=2 * NQ, W=W)
         scan = banded_align(q, qlen, t.copy(), np.full(B, NQ + W, np.int32),
@@ -186,14 +232,42 @@ def verify_pallas_on_hardware(B=128, NQ=1024, W=256, seed=7):
             f"pallas(x_drop={x_drop}) move counts != scan"
         assert np.array_equal(np.asarray(si), np.asarray(s_si)), \
             f"pallas(x_drop={x_drop}) start rows != scan"
-    print(f"pallas hardware parity: ok ({B} lanes, x_drop 0/250)",
-          flush=True)
+    print(f"pallas hardware parity: ok ({B} lanes, x_drop 0/250, "
+          f"dt16={dt16})", flush=True)
 
 
 def main():
+    import argparse
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel-only", action="store_true")
+    ap.add_argument("--probe-ks", action="store_true")
+    ap.add_argument("--int16", action="store_true")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
     tpu_devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if args.kernel_only or args.probe_ks or args.int16:
+        if not tpu_devs:
+            raise SystemExit("kernel modes need the TPU")
+        if args.int16 and not args.probe_ks:
+            verify_pallas_on_hardware(dt16=True)
+        rates = measure_kernel_only(B=1024, NQ=8192, W=512,
+                                    reps=args.reps, dt16=args.int16,
+                                    probe_no_ks=args.probe_ks)
+        metric = ("dp_cells_per_s_kernel_noks" if args.probe_ks else
+                  "dp_cells_per_s_kernel_i16" if args.int16 else
+                  "dp_cells_per_s_kernel_only")
+        print(json.dumps({
+            "metric": metric,
+            "value": float(np.median(rates)),
+            "unit": "cells/s",
+            "vs_baseline": None,
+            "reps": [round(r / 1e9, 2) for r in rates],
+        }))
+        return
+
     if tpu_devs:
         verify_pallas_on_hardware()
         rate = measure_pallas(B=1024, NQ=8192, W=512, iters=5)

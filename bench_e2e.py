@@ -25,7 +25,8 @@ import sys
 import time
 
 
-def make_inputs(genome_mb: float, coverage: int, seed: int, d: str):
+def make_inputs(genome_mb: float, coverage: int, seed: int, d: str,
+                profile: str = "legacy"):
     """Generate (and cache) the dataset; returns paths."""
     os.makedirs(d, exist_ok=True)
     paths = {n: os.path.join(d, f) for n, f in
@@ -37,10 +38,13 @@ def make_inputs(genome_mb: float, coverage: int, seed: int, d: str):
     from tests.synth import make_dataset
     from aligngraph2_tpu.io.fasta import write_fasta, write_fastq
     n_contigs = max(2, int(genome_mb * 4))      # ~250 kb draft contigs
+    # pacbio profile: repeat-laden genome, indel-dominant 13% error,
+    # log-normal lengths, 2% chimeras (tests/synth.py; VERDICT r4 #3)
+    err = 0.13 if profile == "pacbio" else 0.1
     ds = make_dataset(seed=seed, genome_len=int(genome_mb * 1e6),
-                      coverage=coverage, mean_read=9000, read_err=0.1,
+                      coverage=coverage, mean_read=9000, read_err=err,
                       similar_div=0.01, n_contigs=n_contigs,
-                      contig_gap=2000)
+                      contig_gap=2000, profile=profile)
     write_fastq(paths["reads"], ds["reads"])
     write_fasta(paths["ctg"], ds["contigs"])
     write_fasta(paths["genome"], ds["similar"])
@@ -54,18 +58,23 @@ def main():
     ap.add_argument("--coverage", type=int, default=20)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--profile", default="legacy",
+                    choices=["legacy", "pacbio"])
     ap.add_argument("--keep", action="store_true",
                     help="keep the output dir (stage cache reuse)")
     args = ap.parse_args()
 
     tag = f"{args.genome_mb:g}mb_c{args.coverage}_s{args.seed}"
+    if args.profile != "legacy":
+        tag += f"_{args.profile}"
     data_dir = f"/tmp/agv_bench_{tag}"
     out_dir = args.out or f"/tmp/agv_bench_out_{tag}"
     if not args.keep and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
 
     t0 = time.time()
-    paths = make_inputs(args.genome_mb, args.coverage, args.seed, data_dir)
+    paths = make_inputs(args.genome_mb, args.coverage, args.seed, data_dir,
+                        profile=args.profile)
     gen_s = time.time() - t0
 
     from aligngraph2_tpu.config import PipelineConfig
@@ -97,6 +106,7 @@ def main():
         "rss_mb": s.get("rss_mb"),
         "sharded": s.get("sharded_align"),
         "dataset": tag,
+        "profile": args.profile,
         "out_dir": out_dir,
     }
     print(json.dumps(out))

@@ -195,6 +195,44 @@ def test_xdrop_matches_full_kernel(rng):
     np.testing.assert_array_equal(np.asarray(six), np.asarray(sif))
 
 
+def test_int16_row_matches_int32(rng):
+    """The compare-free int16 row (subtract + sign-broadcast + bitwise
+    select, for targets whose VPU has 16-bit ALUs — v5e does not,
+    BENCH_KERNEL.json) must be bit-identical to the int32 kernel:
+    scores, best cells, and the packed direction words.  Interpret-mode
+    execution of the compare-free row is slow, so shapes are minimal —
+    the select logic is shape-independent."""
+    NQ, W = 32, 32
+    qs, ts, diags = [], [], []
+    for _ in range(8):
+        g = encode_seq(random_genome(rng, 200))
+        start = int(rng.integers(0, 100))
+        ln = int(rng.integers(16, 32))
+        read = mutate(rng, decode_seq(g[start:start + ln]),
+                      sub=0.08, ins=0.03, dele=0.03)
+        qs.append(encode_seq(read))
+        ts.append(g)
+        diags.append(start)
+    B, TB, K = 8, 8, 16
+    q = np.full((B, NQ), Q_SENTINEL, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    for i, qq in enumerate(qs):
+        q[i, :len(qq)] = qq
+        qlen[i] = len(qq)
+    t, starts = standard_frame_windows(list(ts), list(diags), NQ, W)
+    # x_drop=0 only: the x_drop block is dtype-independent (widens to
+    # i32 either way) and each interpret-mode i16 variant costs ~a
+    # minute of trace+eval
+    r32 = banded_align_pallas(q, t, qlen, W=W, K=K, TB=TB,
+                              interpret=True)
+    r16 = banded_align_pallas(q, t, qlen, W=W, K=K, TB=TB,
+                              interpret=True, dt16=True)
+    for name in ("score", "best_i", "best_j", "words"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r16, name)),
+            np.asarray(getattr(r32, name)), err_msg=f"{name}")
+
+
 def test_xdrop_short_reads_stop_early(rng):
     """All-short-reads tile: the kernel must still produce correct scores
     (the skipped chunks' dirs are never read)."""
