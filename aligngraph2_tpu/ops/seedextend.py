@@ -199,11 +199,28 @@ def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta,
     if not cands:
         return []
     cands.sort(key=lambda c: -c.hits)
+    # near-diagonal dedupe in stable hits-descending order: drop c if a
+    # previously-KEPT candidate with the same (tid, strand) lies within
+    # bin_w of its diagonal.  A spatial hash on floor(diag / bin_w)
+    # makes this O(n): |d1 - d2| <= bin_w implies the hash cells differ
+    # by at most 1, so checking cells {-1, 0, +1} is complete — the
+    # result is EXACTLY the naive all-pairs scan's (which was O(n^2)
+    # with ~1,100 noise candidates/read at ref_seed_k=12 x 50 Mb and
+    # dominated the whole read->ref stage).
     kept = []
+    by_cell: dict = {}
     for c in cands:
-        dup = any(k.tid == c.tid and k.forward == c.forward
-                  and abs(k.diag - c.diag) <= bin_w for k in kept)
+        cell = c.diag // bin_w
+        dup = False
+        for nb in (cell - 1, cell, cell + 1):
+            for d in by_cell.get((c.tid, c.forward, nb), ()):
+                if abs(d - c.diag) <= bin_w:
+                    dup = True
+                    break
+            if dup:
+                break
         if not dup:
+            by_cell.setdefault((c.tid, c.forward, cell), []).append(c.diag)
             kept.append(c)
     # float32 mean/clamp mirroring the device seeder exactly
     n_kept = np.float32(len(kept))
@@ -220,6 +237,61 @@ def _finalize_read_candidates(cands, bin_w, max_candidates, alpha, beta,
     # clip is monotone, so hits-descending kept order IS score-descending
     kept.sort(key=lambda c: -c.score)
     return kept[:max_candidates]
+
+
+def _finalize_read_candidates_arrays(tid, fwd, diag, hits, bin_w,
+                                     max_candidates, alpha, beta,
+                                     prune: float = 0.0):
+    """Array fast path of :func:`_finalize_read_candidates` — identical
+    output (tests/test_native_seed.py), but operates on the native
+    binner's per-read arrays and only materializes the <= K surviving
+    Candidate objects (the list path built ~1,100 dataclass objects per
+    read at ref_seed_k=12 x 50 Mb before throwing almost all away)."""
+    n = len(tid)
+    if n == 0:
+        return []
+    order = np.argsort(-hits, kind="stable")
+    t_s = tid[order]
+    f_s = fwd[order]
+    d_s = diag[order]
+    h_s = hits[order]
+    keep_idx = []
+    by_cell: dict = {}
+    for i in range(n):
+        d = int(d_s[i])
+        key0 = (int(t_s[i]), bool(f_s[i]))
+        cell = d // bin_w
+        dup = False
+        for nb in (cell - 1, cell, cell + 1):
+            for dk in by_cell.get((key0, nb), ()):
+                if abs(dk - d) <= bin_w:
+                    dup = True
+                    break
+            if dup:
+                break
+        if not dup:
+            by_cell.setdefault((key0, cell), []).append(d)
+            keep_idx.append(i)
+    ki = np.asarray(keep_idx, np.int64)
+    kh = h_s[ki].astype(np.float32)
+    # float32 arithmetic identical to the list path (and the device
+    # seeder): np.sum over the same float32 values in the same order
+    mean_hits = np.float32(np.sum(kh)) / np.float32(len(ki))
+    lo = np.float32(alpha) * mean_hits
+    hi = np.float32(beta) * mean_hits
+    score = np.clip(kh, lo, hi)
+    if prune > 0.0 and len(ki):
+        sel = score >= np.float32(prune) * np.float32(score.max())
+        ki = ki[sel]
+        score = score[sel]
+    # clip is monotone, so hits-descending order IS score-descending
+    out = []
+    for j in range(min(len(ki), max_candidates)):
+        i = int(ki[j])
+        out.append(Candidate(tid=int(t_s[i]), forward=bool(f_s[i]),
+                             diag=int(d_s[i]), hits=int(h_s[i]),
+                             score=float(score[j])))
+    return out
 
 
 def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
@@ -273,14 +345,11 @@ def find_candidates_batch(index: SeedIndex, read_db, ids, *, bin_w: int,
             off = 0
             for ci, rid in enumerate(chunk):
                 m = int(nc[ci])
-                cands = [Candidate(tid=int(b_tid[j]),
-                                   forward=bool(b_fwd[j]),
-                                   diag=int(b_diag[j]),
-                                   hits=int(b_hits[j]), score=0.0)
-                         for j in range(off, off + m)]
+                out[rid] = _finalize_read_candidates_arrays(
+                    b_tid[off:off + m], b_fwd[off:off + m],
+                    b_diag[off:off + m], b_hits[off:off + m],
+                    bin_w, max_candidates, alpha, beta, prune)
                 off += m
-                out[rid] = _finalize_read_candidates(
-                    cands, bin_w, max_candidates, alpha, beta, prune)
             continue
 
         # hit enumeration: native single-pass path when available

@@ -127,6 +127,55 @@ def collect_reference(out_ref: str):
     return consumed, chains
 
 
+def reference_final(ref_chains, in_dir: str, threads: int, tmp: str):
+    """Polish the REFERENCE's chains with the REFERENCE's pa_cns binary
+    (already built; /root/reference/PAGraph/src/main/pa_cns.cpp:12-168),
+    mirroring our stages 7-8: align the group's reads to the reference's
+    chains with OUR aligner (both sides' read->backbone alignments come
+    from the same aligner — the reference's own are absent submodules),
+    then pa_cns each backbone with the driver's -l/-k defaults.  Returns
+    the polished chains for final-vs-final comparison (VERDICT r4
+    missing #1)."""
+    import shutil
+    import subprocess
+    from aligngraph2_tpu.align.aligner import LongReadAligner
+    from aligngraph2_tpu.align.records import AlignmentSet
+    from aligngraph2_tpu.config import AlignerConfig
+    from aligngraph2_tpu.io.fasta import read_seqs, write_fasta
+    from aligngraph2_tpu.io.seqdb import SeqDatabase
+    if not ref_chains:
+        return []
+    reads_db = SeqDatabase.from_file(os.path.join(in_dir, "0.new.fastq"))
+    backbone_db = SeqDatabase([(n.replace(":", "_").replace(" ", "_"), s)
+                               for n, s in ref_chains])
+    alns = LongReadAligner(backbone_db, AlignerConfig(),
+                           progress=False).align_reads(reads_db)
+    bdir = os.path.join(tmp, "ref_final_cns")
+    shutil.rmtree(bdir, ignore_errors=True)
+    os.makedirs(bdir)
+    out = []
+    for i in range(len(backbone_db)):
+        nm = backbone_db.names[i]
+        bfa = os.path.join(bdir, f"{i}.fasta")
+        from aligngraph2_tpu.io.seqdb import decode_seq
+        write_fasta(bfa, [(nm, decode_seq(backbone_db.get_codes(i)))])
+        sub = AlignmentSet([a for a in alns if a.ref_name == nm])
+        bref = os.path.join(bdir, f"{i}.ref")
+        sub.write_ref(bref)
+        cns = os.path.join(bdir, f"{i}.cns.fasta")
+        res = subprocess.run(
+            [os.path.join(REF_BUILD, "pa_cns"), "-t", str(threads),
+             "-i", bfa, "-a", bref, "-o", cns,
+             "-l", "10000", "-k", "3000"],
+            capture_output=True, timeout=14400)
+        if res.returncode == 0 and os.path.exists(cns):
+            for n2, s2 in read_seqs(cns):
+                out.append((f"{nm}:{n2}", s2))
+        else:
+            out.append((nm, decode_seq(backbone_db.get_codes(i))))
+    return out
+
+
 def collect_ours(out_dir: str, group_idx: int):
     """Our pagraph outputs for the group: result.json success set +
     emitted chain sequences (stored in the connections payload)."""
@@ -146,6 +195,11 @@ def main():
     ap.add_argument("--group", type=int, default=0)
     ap.add_argument("--skip-final", action="store_true",
                     help="skip final.fasta metrics")
+    ap.add_argument("--skip-ref-final", action="store_true",
+                    help="skip the reference pa_cns final-vs-final pass")
+    ap.add_argument("--append", action="store_true",
+                    help="append a JSON line to BENCH_QUALITY.json "
+                         "instead of overwriting (per-group rows)")
     args = ap.parse_args()
     if not build_reference():
         print(json.dumps({"error": "reference build failed"}))
@@ -187,10 +241,24 @@ def main():
         from aligngraph2_tpu.io.fasta import read_seqs
         out["ours_final"] = _truth_metrics(
             [(n, s) for n, s in read_seqs(final)], truth_db)
+    # final-vs-final: the reference's own pa_cns on the reference's own
+    # chains (same read->backbone aligner both sides) — the deliverable
+    # is the polished FASTA, so this is the comparison that matters
+    if not args.skip_ref_final and ref_chains:
+        t0 = time.time()
+        rf_chains = reference_final(ref_chains, in_dir, args.threads,
+                                    "/tmp/agv_refstage")
+        out["ref_final"] = _truth_metrics(rf_chains, truth_db)
+        out["ref_final_s"] = round(time.time() - t0, 2)
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_QUALITY.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_QUALITY.json")
+    if args.append:
+        with open(path, "a") as f:
+            f.write("\n" + json.dumps(out))
+    else:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
