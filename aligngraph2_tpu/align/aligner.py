@@ -31,10 +31,14 @@ from .records import Alignment, AlignmentSet
 
 
 def _bucket(n: int, lo: int = 512) -> int:
-    """Length bucket for batch shapes.  Coarse on purpose: every distinct
-    bucket costs a kernel compile (expensive through the remote-compile
-    relay), so trade some padding waste for very few shapes."""
-    for b in (512, 2048, 8192, 32768):
+    """Length bucket for batch shapes.  Coarse on purpose: every
+    distinct bucket costs a kernel compile (expensive through the
+    remote-compile relay, but amortized by the persistent compile
+    cache).  The 10240/12288/16384 rungs matter: PacBio-length reads
+    (~9 kb mean) previously padded to 32768, and behind a ~40 MB/s
+    relay the padded q/t uploads — not the DP cells, which x_drop
+    skips — dominated the extension wall."""
+    for b in (512, 2048, 8192, 10240, 12288, 16384, 32768):
         if n <= b:
             return b
     b = 32768

@@ -273,8 +273,67 @@ struct IndexView {
     const int32_t* prefix_off;   // size 4^prefix_len + 1 (k > 13 path)
     int64_t prefix_shift;        // 2 * (k - prefix_len)
     const int64_t* sorted_codes;
-    const int64_t* sorted_pos;
+    const int32_t* sorted_tid;   // per index entry: target id
+    const int32_t* sorted_local; // per index entry: target-local pos
     int64_t max_occ;
+};
+
+// Thread-local LSD radix co-sort of (key, diag) by key — keys are
+// 45-bit local bin keys, 3 passes of 16 bits.  Reused buffers; stable
+// (stability is irrelevant here — runs are multisets — but cheap).
+struct RadixWs {
+    std::vector<int64_t> k2;
+    std::vector<int32_t> d2;
+    std::vector<int64_t> cnt;
+    void sort(std::vector<int64_t>& keys, std::vector<int32_t>& diags) {
+        const size_t n = keys.size();
+        if (n < 2) return;
+        if (n < 2048) {          // small reads: std::sort wins
+            std::vector<std::pair<int64_t, int32_t>> tmp(n);
+            for (size_t i = 0; i < n; ++i)
+                tmp[i] = {keys[i], diags[i]};
+            std::sort(tmp.begin(), tmp.end(),
+                      [](const std::pair<int64_t, int32_t>& a,
+                         const std::pair<int64_t, int32_t>& b) {
+                          return a.first < b.first;
+                      });
+            for (size_t i = 0; i < n; ++i) {
+                keys[i] = tmp[i].first;
+                diags[i] = tmp[i].second;
+            }
+            return;
+        }
+        const int BITS = 16;
+        const size_t NB = (size_t)1 << BITS;
+        k2.resize(n);
+        d2.resize(n);
+        cnt.resize(NB);
+        int64_t* sk = keys.data();
+        int32_t* sd = diags.data();
+        int64_t* dk = k2.data();
+        int32_t* dd = d2.data();
+        for (int pass = 0; pass < 3; ++pass) {
+            const int shift = pass * BITS;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (size_t i = 0; i < n; ++i)
+                ++cnt[(size_t)((sk[i] >> shift) & (int64_t)(NB - 1))];
+            int64_t acc = 0;
+            for (size_t b = 0; b < NB; ++b) {
+                int64_t c = cnt[b]; cnt[b] = acc; acc += c;
+            }
+            for (size_t i = 0; i < n; ++i) {
+                const int64_t slot =
+                    cnt[(size_t)((sk[i] >> shift) & (int64_t)(NB - 1))]++;
+                dk[slot] = sk[i];
+                dd[slot] = sd[i];
+            }
+            std::swap(sk, dk);
+            std::swap(sd, dd);
+        }
+        // odd pass count: results live in the workspace buffers
+        std::memcpy(keys.data(), sk, n * sizeof(int64_t));
+        std::memcpy(diags.data(), sd, n * sizeof(int32_t));
+    }
 };
 
 // (count, offset) of index entries matching `code`; max_occ-masked.
@@ -300,11 +359,15 @@ void bin_reads_range(const uint8_t* bases, const int64_t* read_start,
                      const IndexView& ix, const int64_t* db_offsets,
                      int64_t n_targets, int64_t bin_w, int64_t min_hits,
                      int32_t* out_nc, BinVecs* out) {
+    (void)db_offsets;
+    (void)n_targets;
     const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
     const int64_t eff_min = min_hits > 1 ? min_hits : 1;
     std::vector<uint8_t> rc;
-    std::vector<std::pair<int64_t, int64_t>> hv;   // (key, diag)
+    std::vector<int64_t> hk;       // bin keys
+    std::vector<int32_t> hd;       // diagonals
     std::vector<int64_t> members;
+    RadixWs ws;
     for (int64_t r = r0; r < r1; ++r) {
         const int64_t lo = read_start[r], hi = read_start[r + 1];
         const int64_t n = hi - lo;
@@ -315,7 +378,8 @@ void bin_reads_range(const uint8_t* bases, const int64_t* read_start,
                 rc[(size_t)i] = (uint8_t)(3 - bases[hi - 1 - i]);
             for (int strand = 0; strand < 2; ++strand) {
                 const uint8_t* seq = strand == 0 ? bases + lo : rc.data();
-                hv.clear();
+                hk.clear();
+                hd.clear();
                 int64_t code = 0;
                 for (int64_t i = 0; i < k - 1; ++i)
                     code = ((code << 2) | seq[i]) & mask;
@@ -324,34 +388,25 @@ void bin_reads_range(const uint8_t* bases, const int64_t* read_start,
                     int64_t c, off;
                     idx_lookup(ix, code, &c, &off);
                     for (int64_t j = 0; j < c; ++j) {
-                        const int64_t tpos = ix.sorted_pos[off + j];
-                        const int64_t tid =
-                            (std::upper_bound(db_offsets,
-                                              db_offsets + n_targets + 1,
-                                              tpos) - db_offsets) - 1;
-                        const int64_t diag =
-                            (tpos - db_offsets[tid]) - p;
-                        hv.push_back({tid * kMAXB
-                                      + (floordiv(diag, bin_w) + kB0),
-                                      diag});
+                        const int64_t tid = ix.sorted_tid[off + j];
+                        const int32_t diag =
+                            ix.sorted_local[off + j] - (int32_t)p;
+                        hk.push_back(tid * kMAXB
+                                     + (floordiv(diag, bin_w) + kB0));
+                        hd.push_back(diag);
                     }
                 }
-                std::sort(hv.begin(), hv.end(),
-                          [](const std::pair<int64_t, int64_t>& a,
-                             const std::pair<int64_t, int64_t>& b) {
-                              return a.first < b.first;
-                          });
+                ws.sort(hk, hd);
                 // run-length over keys + pair smoothing + median
-                const size_t H = hv.size();
+                const size_t H = hk.size();
                 size_t i = 0;
                 while (i < H) {
                     size_t j = i + 1;
-                    while (j < H && hv[j].first == hv[i].first) ++j;
+                    while (j < H && hk[j] == hk[i]) ++j;
                     int64_t smooth = (int64_t)(j - i);
                     size_t j2 = j;
-                    if (j < H && hv[j].first == hv[i].first + 1) {
-                        while (j2 < H && hv[j2].first == hv[j].first)
-                            ++j2;
+                    if (j < H && hk[j] == hk[i] + 1) {
+                        while (j2 < H && hk[j2] == hk[j]) ++j2;
                         smooth += (int64_t)(j2 - j);
                     } else {
                         j2 = j;
@@ -359,9 +414,8 @@ void bin_reads_range(const uint8_t* bases, const int64_t* read_start,
                     if (smooth >= eff_min) {
                         members.clear();
                         for (size_t m = i; m < j2; ++m)
-                            members.push_back(hv[m].second);
-                        out->tid.push_back(
-                            (int32_t)(hv[i].first / kMAXB));
+                            members.push_back((int64_t)hd[m]);
+                        out->tid.push_back((int32_t)(hk[i] / kMAXB));
                         out->fwd.push_back(strand == 0 ? 1 : 0);
                         out->diag.push_back(median_trunc(members));
                         out->hits.push_back((int32_t)smooth);
@@ -381,15 +435,16 @@ int64_t ags_bin(const uint8_t* bases, const int64_t* read_start,
                 int64_t n_reads, int64_t k,
                 const uint16_t* dense_cnt, const int32_t* dense_off,
                 const int32_t* prefix_off, int64_t prefix_len,
-                const int64_t* sorted_codes, const int64_t* sorted_pos,
-                int64_t max_occ,
+                const int64_t* sorted_codes, const int32_t* sorted_tid,
+                const int32_t* sorted_local, int64_t max_occ,
                 const int64_t* db_offsets, int64_t n_targets,
                 int64_t bin_w, int64_t min_hits, int64_t n_threads,
                 int32_t* out_nc,
                 int32_t** out_tid, uint8_t** out_fwd, int64_t** out_diag,
                 int32_t** out_hits) {
     IndexView ix{dense_cnt, dense_off, prefix_off,
-                 2 * (k - prefix_len), sorted_codes, sorted_pos, max_occ};
+                 2 * (k - prefix_len), sorted_codes, sorted_tid,
+                 sorted_local, max_occ};
     if (n_threads < 1) n_threads = 1;
     if (n_threads > n_reads) n_threads = n_reads > 0 ? n_reads : 1;
     std::vector<BinVecs> parts((size_t)n_threads);

@@ -79,7 +79,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _pu8, _pi64, _i64, _i64,
             _pu16, _pi32,             # dense tables (or NULL)
             _pi32, _i64,              # prefix table, prefix_len
-            _pi64, _pi64, _i64,       # sorted_codes, sorted_pos, max_occ
+            _pi64, _pi32, _pi32,      # sorted_codes, sorted_tid/local
+            _i64,                     # max_occ
             _pi64, _i64,              # db_offsets, n_targets
             _i64, _i64, _i64,         # bin_w, min_hits, n_threads
             _pi32,
@@ -186,7 +187,8 @@ def seed_bin_native(index, bases: np.ndarray, read_start: np.ndarray,
     bases = np.ascontiguousarray(bases, np.uint8)
     read_start = np.ascontiguousarray(read_start, np.int64)
     n_reads = len(read_start) - 1
-    pos_t = np.ascontiguousarray(index.sorted_pos, np.int64)
+    tid_t = np.ascontiguousarray(index.sorted_tid, np.int32)
+    local_t = np.ascontiguousarray(index.sorted_local, np.int32)
     codes_t = np.ascontiguousarray(index.sorted_codes, np.int64)
     db_off = np.ascontiguousarray(index.db.offsets, np.int64)
     nc = np.zeros(max(n_reads, 1), np.int32)
@@ -205,7 +207,8 @@ def seed_bin_native(index, bases: np.ndarray, read_start: np.ndarray,
     n = lib.ags_bin(
         bases.ctypes.data_as(_pu8), read_start.ctypes.data_as(_pi64),
         n_reads, index.k, cnt_p, off_p, pre_p, pre_len,
-        codes_t.ctypes.data_as(_pi64), pos_t.ctypes.data_as(_pi64),
+        codes_t.ctypes.data_as(_pi64), tid_t.ctypes.data_as(_pi32),
+        local_t.ctypes.data_as(_pi32),
         index.max_occ, db_off.ctypes.data_as(_pi64),
         len(index.db), bin_w, min_hits, threads,
         nc.ctypes.data_as(_pi32),

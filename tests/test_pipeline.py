@@ -202,3 +202,44 @@ def test_profiler_trace_written(pipeline_run):
     found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
              for f in fs]
     assert found, "no profiler trace files written"
+
+
+def test_pipeline_pacbio_profile(tmp_path):
+    """End-to-end under the realistic regime (VERDICT r4 missing #3):
+    repeat-laden genome, indel-dominant ~13% error, log-normal lengths,
+    chimeric reads.  The pipeline must still connect/extend the draft
+    contigs and the longest output must align to the truth at high
+    identity."""
+    ds = make_dataset(seed=33, genome_len=6000, coverage=16,
+                      mean_read=1000, read_err=0.13, n_contigs=2,
+                      contig_gap=350, profile="pacbio",
+                      repeat_frac=0.12, chimera=0.03)
+    read_path = str(tmp_path / "reads.fq")
+    ctg_path = str(tmp_path / "ctg.fa")
+    ref_path = str(tmp_path / "genome.fa")
+    write_fastq(read_path, ds["reads"])
+    write_fasta(ctg_path, ds["contigs"])
+    write_fasta(ref_path, ds["similar"])
+    res = run_pipeline(read_path, ctg_path, ref_path,
+                       str(tmp_path / "out"), small_cfg(),
+                       log=lambda *a: None)
+    recs = list(read_seqs(res.final_fasta))
+    assert recs, "final.fasta empty under the pacbio profile"
+    longest = max(len(s) for _, s in recs)
+    max_ctg = max(len(s) for _, s in ds["contigs"])
+    assert longest > max_ctg * 1.05, \
+        f"no extension under pacbio profile: {longest} vs {max_ctg}"
+    # identity of the longest output vs truth
+    from aligngraph2_tpu.align.aligner import LongReadAligner
+    from aligngraph2_tpu.config import AlignerConfig
+    from aligngraph2_tpu.io.seqdb import SeqDatabase
+    name, seq = max(recs, key=lambda r: len(r[1]))
+    genome_db = SeqDatabase([("truth", ds["genome"])])
+    probe_db = SeqDatabase([("probe", seq.upper())])
+    acfg = AlignerConfig(band_width=256, min_aln_len=300,
+                         min_block_hits=3, seed_k=11, delta=0.5)
+    alns = LongReadAligner(genome_db, acfg).align_reads(probe_db)
+    assert alns, "pacbio-profile assembly does not align to truth"
+    best = alns[0]
+    matches = sum(1 for a, b in zip(best.qstr, best.tstr) if a == b)
+    assert matches / len(best.qstr) > 0.85
