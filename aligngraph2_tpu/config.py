@@ -36,6 +36,21 @@ class AlignerConfig:
                                     # low-divergence regression — see
                                     # PARITY.md mecat2ref+ table
     seed_stride: int = 1            # query k-mer sampling stride for seeding
+    ref_seed_rescue: bool = False   # two-level read->similar-genome
+                                    # seeding: first pass at seed_k
+                                    # (cheap), then re-seed ONLY the
+                                    # reads with no alignment at
+                                    # ref_seed_k (the diverged-locus
+                                    # rescue).  Preserves the
+                                    # diverged-recall contract — a read
+                                    # whose best locus is diverged
+                                    # fails the k=13 pass and gets the
+                                    # k=12 treatment — at a fraction of
+                                    # the small-seed noise cost
+                                    # (G/4^12 hits/kmer for only the
+                                    # unaligned tail).  Off by default:
+                                    # the recorded parity/recall
+                                    # evidence was measured single-pass
     seed_k_auto: bool = True        # grow seed_k with TARGET size so the
                                     # random-hit rate G/4^k stays flat —
                                     # per-read seeding cost was linear in

@@ -208,6 +208,7 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
     aln_args = dict(alpha=cfg.aligner.alpha, beta=cfg.aligner.beta,
                     delta=cfg.aligner.delta, seed_k=cfg.aligner.seed_k,
                     ref_seed_k=cfg.aligner.ref_seed_k,
+                    rescue=cfg.aligner.ref_seed_rescue,
                     prune=cfg.aligner.prune_ratio)
     if not (c_cache.check(read_path, ctg_path)
             and c_cache.check_args(**aln_args)
@@ -253,10 +254,40 @@ def _run(read_path: str, ctg_path: str, genome_path: str, out_dir: str,
             and r_cache.check_args(**aln_args)
             and os.path.exists(r2r_path)):
         read_ids = host_shard_ids(len(reads)) if n_hosts > 1 else None
-        r2r = LongReadAligner(refs, ref_aln_cfg, mesh=mesh,
-                              progress=cfg.runtime.progress,
-                              checkpoint_path=part_path(dirs["mecat_ref"])
-                              ).align_reads(reads, ids=read_ids)
+        if cfg.aligner.ref_seed_rescue \
+                and cfg.aligner.ref_seed_k < cfg.aligner.seed_k:
+            # two-level seeding (AlignerConfig.ref_seed_rescue): cheap
+            # seed_k pass over everything, ref_seed_k pass over only
+            # the reads it left unaligned — the diverged-locus rescue
+            p1_cfg = _dc_replace(cfg.aligner, seed_k=cfg.aligner.seed_k,
+                                 seed_k_auto=False)
+            r2r = LongReadAligner(
+                refs, p1_cfg, mesh=mesh, progress=cfg.runtime.progress,
+                checkpoint_path=part_path(dirs["mecat_ref"])
+            ).align_reads(reads, ids=read_ids)
+            got = {a.query_name for a in r2r}
+            all_ids = (read_ids if read_ids is not None
+                       else range(len(reads)))
+            miss = [rid for rid in all_ids
+                    if reads.names[rid] not in got]
+            log(f"  rescue pass: {len(miss)} unaligned reads at "
+                f"k={cfg.aligner.seed_k} -> "
+                f"k={cfg.aligner.ref_seed_k}")
+            if miss:
+                r2r_extra = LongReadAligner(
+                    refs, ref_aln_cfg, mesh=mesh,
+                    progress=cfg.runtime.progress,
+                    checkpoint_path=part_path(dirs["mecat_ref"])
+                ).align_reads(reads, ids=miss)
+                for a in r2r_extra:
+                    r2r.append(a)
+                r2r.sort_by_score()
+        else:
+            r2r = LongReadAligner(
+                refs, ref_aln_cfg, mesh=mesh,
+                progress=cfg.runtime.progress,
+                checkpoint_path=part_path(dirs["mecat_ref"])
+            ).align_reads(reads, ids=read_ids)
         r2r = gather_alignments(r2r)
         if is_coordinator():
             r2r.write_ref(r2r_path)

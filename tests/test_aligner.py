@@ -248,3 +248,49 @@ def test_clamped_score_prune_semantics():
     assert 12 in kept_tids(crowd2, alpha=0.3, beta=1.0, prune=0.25)
     # prune=0 keeps everything (capped only by max_candidates)
     assert weak in kept_tids(crowd, alpha=0.0, beta=2.0, prune=0.0)
+
+
+def test_ref_seed_rescue_preserves_diverged_recall():
+    """Two-level seeding (AlignerConfig.ref_seed_rescue): a cheap
+    large-seed pass plus a small-seed pass over only the unaligned tail
+    must recover every diverged read the single small-seed pass
+    recovers — a read whose best locus is diverged fails the large-seed
+    pass and gets the small-seed treatment."""
+    import numpy as np
+    from aligngraph2_tpu.align.aligner import LongReadAligner
+    from aligngraph2_tpu.config import AlignerConfig
+    from aligngraph2_tpu.io.seqdb import SeqDatabase
+    from tests.synth import mutate, random_genome, sample_reads
+
+    rng = np.random.default_rng(17)
+    genome = random_genome(rng, 60_000)
+    # similar genome: first half lightly diverged, second half heavily
+    similar = (mutate(rng, genome[:30_000], 0.01, 0.0025, 0.0025)
+               + mutate(rng, genome[30_000:], 0.12, 0.03, 0.03))
+    refs = SeqDatabase([("ref", similar)])
+    reads = sample_reads(rng, genome, coverage=3, mean_len=2000,
+                         err=0.05)
+    rdb = SeqDatabase(reads)
+
+    small = AlignerConfig(seed_k=9, band_width=128, min_block_hits=3,
+                          min_aln_len=150)
+    big_k = 12
+
+    def aligned_names(alns):
+        return {a.query_name for a in alns}
+
+    single = aligned_names(
+        LongReadAligner(refs, small).align_reads(rdb))
+
+    # emulate the driver's rescue flow
+    import dataclasses
+    p1 = LongReadAligner(
+        refs, dataclasses.replace(small, seed_k=big_k)).align_reads(rdb)
+    got = aligned_names(p1)
+    miss = [i for i in range(len(rdb)) if rdb.names[i] not in got]
+    p2 = LongReadAligner(refs, small).align_reads(rdb, ids=miss)
+    rescued = got | aligned_names(p2)
+
+    assert single, "single-pass aligned nothing (test setup broken)"
+    lost = single - rescued
+    assert not lost, f"rescue mode lost reads: {sorted(lost)[:5]}"
