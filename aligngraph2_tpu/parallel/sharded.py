@@ -83,6 +83,10 @@ def build_block_index(db: SeqDatabase, k: int, block_len: int,
     evenly over the block mesh axis."""
     if overlap is None:
         overlap = block_len // 4
+    # int32 sorted-code arrays bound the device index to k <= 15
+    # (AlignerConfig.seed_k_max defaults to 15 for this reason)
+    if k > 15:
+        raise ValueError(f"block index supports k <= 15, got {k}")
     stride = max(block_len - overlap, 1)
     pieces = []  # (seq_id, start, codes)
     for i in range(len(db)):

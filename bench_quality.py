@@ -251,14 +251,11 @@ def main():
         out["ref_final"] = _truth_metrics(rf_chains, truth_db)
         out["ref_final_s"] = round(time.time() - t0, 2)
     print(json.dumps(out))
+    # BENCH_QUALITY.json is JSON-lines: one compact record per line
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_QUALITY.json")
-    if args.append:
-        with open(path, "a") as f:
-            f.write("\n" + json.dumps(out))
-    else:
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+    with open(path, "a" if args.append else "w") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

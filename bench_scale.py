@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--mb", type=float, default=5.0)
     ap.add_argument("--coverage", type=int, default=8)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--rescue", action="store_true",
+                    help="two-level read->ref seeding "
+                         "(AlignerConfig.ref_seed_rescue)")
     args = ap.parse_args()
     tag = f"{args.chroms}x{args.mb:g}mb_c{args.coverage}_s{args.seed}"
     data = os.path.join("/tmp", f"agv_scale_{tag}")
@@ -69,6 +72,7 @@ def main():
     from aligngraph2_tpu.config import PipelineConfig
     from aligngraph2_tpu.pipeline.driver import run_pipeline
     cfg = PipelineConfig()
+    cfg.aligner.ref_seed_rescue = args.rescue
     t0 = time.time()
     res = run_pipeline(paths["reads"], paths["ctg"], paths["genome"],
                        out, cfg)
@@ -89,6 +93,7 @@ def main():
         "rss_mb": metrics.get("stage_rss_mb", {}).get("emit"),
         "dataset": tag,
         "total_mb": args.chroms * args.mb,
+        "rescue": args.rescue,
     }
     print(json.dumps(line), flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
