@@ -36,7 +36,7 @@ class AlignerConfig:
                                     # low-divergence regression — see
                                     # PARITY.md mecat2ref+ table
     seed_stride: int = 1            # query k-mer sampling stride for seeding
-    ref_seed_rescue: bool = False   # two-level read->similar-genome
+    ref_seed_rescue: bool = True    # two-level read->similar-genome
                                     # seeding: first pass at seed_k
                                     # (cheap), then re-seed ONLY the
                                     # reads with no alignment at
@@ -48,9 +48,15 @@ class AlignerConfig:
                                     # k=12 treatment — at a fraction of
                                     # the small-seed noise cost
                                     # (G/4^12 hits/kmer for only the
-                                    # unaligned tail).  Off by default:
-                                    # the recorded parity/recall
-                                    # evidence was measured single-pass
+                                    # unaligned tail).  Validated at
+                                    # 50 Mb: read_to_ref 1,049 -> 145 s
+                                    # with final-assembly quality
+                                    # unchanged to 3 decimals
+                                    # (BENCH_SCALE.json rescue lines);
+                                    # recall locked by
+                                    # tests/test_aligner.py::
+                                    # test_ref_seed_rescue_preserves_
+                                    # diverged_recall
     seed_k_auto: bool = True        # grow seed_k with TARGET size so the
                                     # random-hit rate G/4^k stays flat —
                                     # per-read seeding cost was linear in
