@@ -196,7 +196,13 @@ class LongReadAligner:
         bar.update(i)
         while i < len(jobs):
             NQ = _bucket(len(jobs[i][2]))
-            pallas_ok = self.use_pallas and NQ <= 32768
+            # pallas up to the 65536 bucket: the log-normal PacBio length
+            # tail (~0.4% of reads > 32 kb) otherwise lands on the scan
+            # path at ~2.3 s/batch — measured 59 s of a 185 s aligner
+            # wall at 1 Mb pacbio.  words stream at NQ=65536, B=128 is
+            # 512 MB (x2 in flight), inside the HBM budget; reads past
+            # 65536 (P ~ 5e-5) keep the scan path.
+            pallas_ok = self.use_pallas and NQ <= 65536
             B = self._batch_size(NQ, pallas_ok)
             batch = []
             while i < len(jobs) and len(batch) < B \

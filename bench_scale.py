@@ -20,7 +20,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_inputs(n_chroms, mb, coverage, seed, d):
+def make_inputs(n_chroms, mb, coverage, seed, d, profile="legacy"):
     os.makedirs(d, exist_ok=True)
     paths = {n: os.path.join(d, f) for n, f in
              (("reads", "reads.fq"), ("ctg", "ctg.fa"),
@@ -31,12 +31,15 @@ def make_inputs(n_chroms, mb, coverage, seed, d):
     from tests.synth import make_dataset
     reads, ctgs, sims, truths = [], [], [], []
     rid = 0
+    # pacbio: repeat-laden chromosomes + indel-dominant 13% error,
+    # log-normal lengths, chimeras (tests/synth.py; VERDICT r4 #3)
+    err = 0.13 if profile == "pacbio" else 0.1
     for c in range(n_chroms):
         ds = make_dataset(seed=seed + c, genome_len=int(mb * 1e6),
                           coverage=coverage, mean_read=9000,
-                          read_err=0.1, similar_div=0.01,
+                          read_err=err, similar_div=0.01,
                           n_contigs=max(2, int(mb * 4)),
-                          contig_gap=2000)
+                          contig_gap=2000, profile=profile)
         for name, seq in ds["reads"]:
             rid += 1
             reads.append((str(rid), seq))
@@ -60,13 +63,17 @@ def main():
     ap.add_argument("--rescue", action="store_true",
                     help="two-level read->ref seeding "
                          "(AlignerConfig.ref_seed_rescue)")
+    ap.add_argument("--profile", default="legacy",
+                    choices=["legacy", "pacbio"])
     args = ap.parse_args()
     tag = f"{args.chroms}x{args.mb:g}mb_c{args.coverage}_s{args.seed}"
+    if args.profile != "legacy":
+        tag += f"_{args.profile}"
     data = os.path.join("/tmp", f"agv_scale_{tag}")
     out = os.path.join("/tmp", f"agv_scale_out_{tag}")
     t0 = time.time()
     paths = make_inputs(args.chroms, args.mb, args.coverage, args.seed,
-                        data)
+                        data, profile=args.profile)
     gen_s = time.time() - t0
 
     from aligngraph2_tpu.config import PipelineConfig
@@ -94,6 +101,7 @@ def main():
         "dataset": tag,
         "total_mb": args.chroms * args.mb,
         "rescue": args.rescue,
+        "profile": args.profile,
     }
     print(json.dumps(line), flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
